@@ -19,6 +19,9 @@ if os.environ.get("D3IL_TPU_TEST_TPU", "0") != "1":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache: repeated test runs skip XLA compilation
+        jax.config.update("jax_compilation_cache_dir", "/tmp/d3il_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         from jax._src import xla_bridge as _xb
 
         for _reg in (_xb._backend_factories, getattr(_xb, "_plugin_callbacks", {})):
