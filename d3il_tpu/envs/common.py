@@ -1,0 +1,134 @@
+"""Shared machinery for the vectorized task environments.
+
+An env here is a pair of pure functions over explicit state:
+
+    reset(params, context)          -> state
+    step(params, state, action)     -> (state, StepResult)
+
+with every per-step loop expressed as `lax.scan` so `jax.vmap(step)` runs
+thousands of envs in lockstep on one chip (replacing the reference's
+one-process-per-env evaluation, simulation/pushing_sim.py:105-138).
+
+The substep reproduces the reference control pipeline per 1 ms physics tick
+(Scene.next_step -> MjRobot.prepare_step -> mj_step; Scene.py:121-138):
+cartesian DLS-IK -> joint PD + URDF-model feedforward -> finger force law ->
+gravity compensation from the sim-model bias -> actuator clamp -> physics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from d3il_tpu.control import cartesian, gains, gripper, joint_pd, offline_ik
+from d3il_tpu.engine import step as estep
+from d3il_tpu.engine.model import SceneModel
+from d3il_tpu.ops import quat as quat_ops
+from d3il_tpu.robot import chain as chain_mod
+from d3il_tpu.robot import panda
+from d3il_tpu.envs import scenes
+
+
+class StepResult(NamedTuple):
+    obs: jax.Array      # observation (reference semantics: pre-substep state)
+    reward: jax.Array
+    done: jax.Array
+    info: dict
+
+
+class RodTaskParams:
+    """Static task parameters shared by the rod end-effector tasks."""
+
+    def __init__(self, scene: SceneModel, n_substeps: int,
+                 max_steps: int, init_ee_pos=None, init_ee_quat=None):
+        self.scene = scene
+        self.ctrl_chain = panda.build_control_chain()
+        self.cart_gains = gains.CartPosQuatGains()
+        self.pd_gains = gains.JointPDGains()
+        self.n_substeps = n_substeps
+        self.max_steps = max_steps
+        self.dt = scene.dt
+        self.tcp_body = scene.robot.body_index("tcp")
+        init_ee_pos = scenes.INIT_EE_POS if init_ee_pos is None else init_ee_pos
+        init_ee_quat = scenes.INIT_EE_QUAT if init_ee_quat is None else init_ee_quat
+        # episode start configuration: offline IK from the default qpos
+        # (reference env start(): gotoCartPosQuatController trajectory[-1] then
+        # beam, e.g. pushing.py:283-333)
+        self.q_init = np.asarray(offline_ik.solve(
+            self.ctrl_chain, init_ee_pos, init_ee_quat, q0=panda.INIT_QPOS),
+            np.float64)
+        self.init_ee_pos = np.asarray(init_ee_pos)
+        self.init_ee_quat = np.asarray(init_ee_quat)
+        self._engine_step = estep.make_step_fn(scene)
+
+    def tcp_pose(self, sc: estep.SceneState):
+        xpos, xquat = chain_mod.fk(self.scene.robot, sc.q)
+        return xpos[self.tcp_body], xquat[self.tcp_body]
+
+
+def control_substep(params: RodTaskParams, carry, _,
+                    set_width=0.04, grasp_flag=False):
+    """One 1 ms tick: controller + physics. carry = (scene_state, ctrl_state,
+    des_pos, des_quat)."""
+    sc, cs, des_pos, des_quat = carry
+    cs, q_des, qd_des, qdd_des = cartesian.step(
+        params.ctrl_chain, params.cart_gains, cs, des_pos, des_quat, params.dt)
+    tau = joint_pd.feedforward_torque(
+        params.ctrl_chain, params.pd_gains, q_des, qd_des, qdd_des,
+        sc.q[:7], sc.qd[:7])
+    fing = gripper.finger_forces(sc.q[7:], sc.qd[7:], set_width, grasp_flag)
+    # gravity compensation: sim-model bias at the pre-step state
+    # (preprocessCommand, Robots.py:552-559; fingers get the raw command,
+    # MjRobot.prepare_step:129-130)
+    bias = chain_mod.bias_forces(params.scene.robot, sc.q, sc.qd,
+                                 params.scene.gravity)
+    ctrl = jnp.concatenate([tau + bias[:7], fing])
+    sc = params._engine_step(sc, ctrl)
+    return (sc, cs, des_pos, des_quat), None
+
+
+def hold_substep(params: RodTaskParams, carry, _):
+    """Joint-PD hold at a fixed setpoint (reset settling: the reference beams
+    then runs scene.next_step under the joint tracking controller)."""
+    sc, q_hold = carry
+    z7 = jnp.zeros(7, sc.q.dtype)
+    tau = joint_pd.feedforward_torque(
+        params.ctrl_chain, params.pd_gains, q_hold, z7, z7, sc.q[:7], sc.qd[:7])
+    fing = gripper.finger_forces(sc.q[7:], sc.qd[7:], 0.04, False)
+    bias = chain_mod.bias_forces(params.scene.robot, sc.q, sc.qd,
+                                 params.scene.gravity)
+    ctrl = jnp.concatenate([tau + bias[:7], fing])
+    sc = params._engine_step(sc, ctrl)
+    return (sc, q_hold), None
+
+
+def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat):
+    (sc, cs, _, _), _ = jax.lax.scan(
+        functools.partial(control_substep, params),
+        (sc, cs, des_pos, des_quat), None, length=params.n_substeps)
+    return sc, cs
+
+
+def init_scene_state(params: RodTaskParams, dtype=jnp.float32,
+                     free_pos=None, free_quat=None) -> estep.SceneState:
+    q = jnp.concatenate([jnp.asarray(params.q_init, dtype), jnp.zeros(2, dtype)])
+    return estep.init_state(params.scene, q=q, free_pos=free_pos,
+                            free_quat=free_quat, dtype=dtype)
+
+
+def settle(params: RodTaskParams, sc, n: int = 2):
+    """Run n joint-hold physics steps after a beam/reset (reference:
+    beam_to_joint_pos executes one step, then scene.next_step once more)."""
+    q_hold = sc.q[:7]
+    (sc, _), _ = jax.lax.scan(functools.partial(hold_substep, params),
+                              (sc, q_hold), None, length=n)
+    return sc
+
+
+def yaw_tan(q: jax.Array) -> jax.Array:
+    """tan(yaw) observation encoding (reference pushing.py:258-266:
+    np.tan(quat2euler(quat)[-1:]))."""
+    return jnp.tan(quat_ops.to_euler(q)[..., 2:3])
