@@ -1,0 +1,120 @@
+"""Agent base: train state, jitted epoch loops, checkpoint utilities.
+
+Functional counterpart of the reference BaseAgent (agents/base_agent.py:17):
+training is epochs of jitted minibatch steps over device-resident window
+tensors (no DataLoader workers), periodic validation MSE, best-params
+tracking, and orbax checkpointing of the full train state (vs the
+reference's weights-only torch.save, base_agent.py:138-146).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from d3il_tpu.data import dataset as ds
+from d3il_tpu.data.scaler import Scaler
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 100
+    batch_size: int = 1024
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    eval_every_n_epochs: int = 10
+    window_size: int = 1
+    steps_per_epoch: int | None = None  # default: n_windows // batch_size
+
+
+def make_optimizer(cfg: TrainConfig):
+    if cfg.weight_decay > 0:
+        return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    return optax.adam(cfg.lr)
+
+
+def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
+        val_data: ds.TrajectoryData | None, cfg: TrainConfig, key,
+        val_metric_fn: Callable | None = None, log_every: int = 0,
+        callback=None):
+    """Generic training loop.
+
+    loss_fn(params, obs_window [B,W,Do], act_window [B,W,Da], key) -> scalar.
+    val_metric_fn(params, obs, act) -> scalar (defaults to loss with fixed key).
+    Returns (best_params, final_params, history).
+    """
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    spe = cfg.steps_per_epoch or max(1, train_data.n_windows // cfg.batch_size)
+
+    @jax.jit
+    def train_epoch(params, opt_state, key):
+        def one_step(carry, k):
+            params, opt_state = carry
+            k1, k2 = jax.random.split(k)
+            obs, act = ds.sample_windows(train_data, k1, cfg.batch_size,
+                                         cfg.window_size)
+            loss, grads = jax.value_and_grad(loss_fn)(params, obs, act, k2)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, spe)
+        (params, opt_state), losses = jax.lax.scan(one_step, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    @jax.jit
+    def evaluate(params, key):
+        obs, act = ds.sample_windows(val_data, key,
+                                     min(4096, val_data.n_windows),
+                                     cfg.window_size)
+        if val_metric_fn is not None:
+            return val_metric_fn(params, obs, act)
+        return loss_fn(params, obs, act, jax.random.PRNGKey(0))
+
+    best_params, best_val = params, np.inf
+    history = []
+    for epoch in range(cfg.epochs):
+        key, k1, k2 = jax.random.split(key, 3)
+        params, opt_state, train_loss = train_epoch(params, opt_state, k1)
+        rec = {"epoch": epoch, "train_loss": float(train_loss)}
+        if val_data is not None and (epoch + 1) % cfg.eval_every_n_epochs == 0:
+            val = float(evaluate(params, k2))
+            rec["val_loss"] = val
+            if val < best_val:
+                best_val, best_params = val, params
+        history.append(rec)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"epoch {epoch+1}/{cfg.epochs} loss {rec['train_loss']:.5f}"
+                  + (f" val {rec.get('val_loss'):.5f}" if "val_loss" in rec else ""))
+        if callback is not None:
+            callback(epoch, params, rec)
+    if val_data is None:
+        best_params = params
+    return best_params, params, history
+
+
+def save_checkpoint(path: str, params, extra: dict | None = None):
+    """Orbax full-state checkpoint (replaces weights-only torch.save)."""
+    import orbax.checkpoint as ocp
+    ckpt = ocp.PyTreeCheckpointer()
+    payload = {"params": params}
+    if extra:
+        payload.update(extra)
+    ckpt.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

@@ -47,6 +47,7 @@ class Geom:
     solref: tuple = DEFAULT_SOLREF
     solimp: tuple = DEFAULT_SOLIMP
     margin: float = 0.0
+    priority: int = 0
     name: str = ""
 
 
@@ -67,6 +68,15 @@ class ContactPair:
 
 
 def _mix(pa: Geom, pb: Geom) -> dict:
+    """MuJoCo contact-parameter combination: with equal geom priority,
+    solref/solimp average and friction takes the element-wise max; a
+    higher-priority geom's parameters win outright (used by the sorting
+    platform: friction=0.3 priority=1, sorting/platform.xml)."""
+    if pa.priority != pb.priority:
+        w = pa if pa.priority > pb.priority else pb
+        solimp = tuple(w.solimp) + DEFAULT_SOLIMP[len(w.solimp):]
+        return dict(friction=w.friction[0], solref=tuple(w.solref),
+                    solimp=solimp, margin=max(pa.margin, pb.margin))
     solimp_a = tuple(pa.solimp) + DEFAULT_SOLIMP[len(pa.solimp):]
     solimp_b = tuple(pb.solimp) + DEFAULT_SOLIMP[len(pb.solimp):]
     return dict(

@@ -125,32 +125,45 @@ def _point_jac_free(point, com_w, quat):
     return jnp.concatenate([jnp.eye(3, dtype=point.dtype), Jw], axis=1)
 
 
-def make_step_fn(scene: SceneModel):
-    """Build the jitted single-step function step(state, ctrl) -> state."""
+def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
+    """Build the jitted single-step function step(state, ctrl) -> state.
+
+    kinematic_robot=True: the arm follows an externally-set joint trajectory
+    (the reference's neglect_dynamics mode, IKControllers.py:317-319) and acts
+    as an infinite-mass collider for the free bodies; `ctrl` is then the
+    desired [q (nv_r), qd (nv_r)] instead of torques. This is also the
+    high-throughput path for demonstration generation.
+    """
     robot = scene.robot
     nv_r = robot.nv
     nf = scene.n_free
     nv = nv_r + 6 * nf
     h = scene.dt
-    ee_damping = jnp.asarray(robot.joint_damping)
 
     def step(state: SceneState, ctrl: jax.Array) -> SceneState:
         dtype = state.q.dtype
         g = jnp.asarray(scene.gravity, dtype)
         D = jnp.asarray(robot.joint_damping, dtype)
 
-        # ---- smooth dynamics: robot ----
-        fk_cache = chain_mod.fk(robot, state.q)
-        M_arm = chain_mod.mass_matrix(robot, state.q)
-        bias_arm = chain_mod.bias_forces(robot, state.q, state.qd, scene.gravity)
-        fr = jnp.asarray(scene.forcerange, dtype)
-        tau = jnp.clip(ctrl, fr[:, 0], fr[:, 1])
-        # joint-limit containment for fingers is handled by the range clamp at
-        # integration (below); smooth force excludes damping (implicit later)
-        f_arm = tau - bias_arm
-        M_chol = jax.scipy.linalg.cho_factor(
-            M_arm + h * jnp.diag(D))  # used for both smooth + integration
-        Minv_arm = jax.scipy.linalg.cho_solve(M_chol, jnp.eye(nv_r, dtype=dtype))
+        if kinematic_robot:
+            # arm pose comes from the controller; infinite-mass collider
+            state = state._replace(q=ctrl[:nv_r], qd=ctrl[nv_r:2 * nv_r])
+            fk_cache = chain_mod.fk(robot, state.q)
+            Minv_arm = jnp.zeros((nv_r, nv_r), dtype)
+            a_smooth_arm = jnp.zeros(nv_r, dtype)
+        else:
+            # ---- smooth dynamics: robot ----
+            fk_cache = chain_mod.fk(robot, state.q)
+            M_arm = chain_mod.mass_matrix(robot, state.q)
+            bias_arm = chain_mod.bias_forces(robot, state.q, state.qd, scene.gravity)
+            fr = jnp.asarray(scene.forcerange, dtype)
+            tau = jnp.clip(ctrl, fr[:, 0], fr[:, 1])
+            # joint-limit containment for fingers is handled by the range clamp
+            # at integration; smooth force excludes damping (implicit later)
+            f_arm = tau - bias_arm
+            M_chol = jax.scipy.linalg.cho_factor(
+                M_arm + h * jnp.diag(D))  # used for both smooth + integration
+            Minv_arm = jax.scipy.linalg.cho_solve(M_chol, jnp.eye(nv_r, dtype=dtype))
 
         # ---- smooth dynamics: free boxes ----
         m_f = jnp.asarray(scene.free_mass, dtype)              # [nf]
@@ -160,6 +173,34 @@ def make_step_fn(scene: SceneModel):
         f_free_ang = -gyro
 
         # ---- contacts ----
+        if not scene.pairs:
+            if kinematic_robot:
+                if nf:
+                    linvel_new = state.free_linvel + h * g[None]
+                    angvel_new = state.free_angvel + h * (f_free_ang / I_f)
+                    return state._replace(
+                        free_pos=state.free_pos + h * linvel_new,
+                        free_quat=quat_ops.integrate(state.free_quat, angvel_new, h),
+                        free_linvel=linvel_new, free_angvel=angvel_new)
+                return state
+            # contact-free scene: smooth dynamics only
+            rhs = M_arm @ state.qd + h * (tau - bias_arm)
+            qd_new = jax.scipy.linalg.cho_solve(M_chol, rhs)
+            q_new = state.q + h * qd_new
+            lo = jnp.asarray(robot.joint_range[:, 0], dtype)
+            hi = jnp.asarray(robot.joint_range[:, 1], dtype)
+            q_clamped = jnp.clip(q_new, lo, hi)
+            qd_new = jnp.where((q_new < lo) | (q_new > hi), 0.0, qd_new)
+            if nf:
+                linvel_new = state.free_linvel + h * g[None]
+                angvel_new = state.free_angvel + h * (f_free_ang / I_f)
+                return SceneState(
+                    q=q_clamped, qd=qd_new,
+                    free_pos=state.free_pos + h * linvel_new,
+                    free_quat=quat_ops.integrate(state.free_quat, angvel_new, h),
+                    free_linvel=linvel_new, free_angvel=angvel_new)
+            return state._replace(q=q_clamped, qd=qd_new)
+
         contacts, metas = _contact_rows(scene, state, fk_cache)
         ncon = contacts.depth.shape[0]
         com_w = state.free_pos  # box com == frame origin
@@ -205,7 +246,8 @@ def make_step_fn(scene: SceneModel):
         v_all = jnp.concatenate(
             [state.qd] + [jnp.concatenate([state.free_linvel[i], state.free_angvel[i]])
                           for i in range(nf)]) if nf else state.qd
-        a_smooth_arm = jax.scipy.linalg.cho_solve(M_chol, f_arm)  # note: (M+hD)^-1 approx
+        if not kinematic_robot:
+            a_smooth_arm = jax.scipy.linalg.cho_solve(M_chol, f_arm)  # (M+hD)^-1
         a_free = [jnp.concatenate([g, (f_free_ang[i]) / I_f[i]]) for i in range(nf)]
         a_smooth = jnp.concatenate([a_smooth_arm] + a_free) if nf else a_smooth_arm
 
@@ -255,16 +297,19 @@ def make_step_fn(scene: SceneModel):
         qfrc_con = jnp.einsum("cki,ck->i", J, f)
 
         # ---- integrate ----
-        # arm: (M + hD) v' = M v + h (tau - bias + qfrc_con_arm)
-        rhs = M_arm @ state.qd + h * (tau - bias_arm + qfrc_con[:nv_r])
-        qd_new = jax.scipy.linalg.cho_solve(M_chol, rhs)
-        q_new = state.q + h * qd_new
-        # joint range clamp (hard stop; proper limit constraints TODO)
-        lo = jnp.asarray(robot.joint_range[:, 0], dtype)
-        hi = jnp.asarray(robot.joint_range[:, 1], dtype)
-        q_clamped = jnp.clip(q_new, lo, hi)
-        qd_new = jnp.where((q_new < lo) | (q_new > hi), 0.0, qd_new)
-        q_new = q_clamped
+        if kinematic_robot:
+            q_new, qd_new = state.q, state.qd
+        else:
+            # arm: (M + hD) v' = M v + h (tau - bias + qfrc_con_arm)
+            rhs = M_arm @ state.qd + h * (tau - bias_arm + qfrc_con[:nv_r])
+            qd_new = jax.scipy.linalg.cho_solve(M_chol, rhs)
+            q_new = state.q + h * qd_new
+            # joint range clamp (hard stop; proper limit constraints TODO)
+            lo = jnp.asarray(robot.joint_range[:, 0], dtype)
+            hi = jnp.asarray(robot.joint_range[:, 1], dtype)
+            q_clamped = jnp.clip(q_new, lo, hi)
+            qd_new = jnp.where((q_new < lo) | (q_new > hi), 0.0, qd_new)
+            q_new = q_clamped
 
         if nf:
             fcon_free = qfrc_con[nv_r:].reshape(nf, 6)

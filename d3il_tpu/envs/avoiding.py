@@ -24,9 +24,9 @@ from d3il_tpu.robot import chain as chain_mod
 
 class AvoidingParams(common.RodTaskParams):
     def __init__(self, n_substeps: int = 35, max_steps: int = 250,
-                 solver_iters: int = 15):
+                 solver_iters: int = 15, kinematic: bool = False):
         super().__init__(scenes.build_avoiding_scene(solver_iters),
-                         n_substeps, max_steps)
+                         n_substeps, max_steps, kinematic=kinematic)
         # rod-vs-obstacle capsule parameters for the failure predicate
         hand = self.scene.robot.body_index("panda_hand")
         self.hand_body = hand
@@ -77,7 +77,7 @@ def _rod_collision(params: AvoidingParams, sc: estep.SceneState) -> jax.Array:
     hits = []
     for (x, y, r, hl) in params.obstacles:
         obs_pos = jnp.array([x, y, 0.0], sc.q.dtype)
-        c = ecol.capsule_capsule(rod_pos, hand_q, 0.01, 0.15,
+        c = ecol.capsule_capsule(rod_pos, hand_q, 0.01, 0.14,
                                  obs_pos, jnp.array([1.0, 0, 0, 0], sc.q.dtype),
                                  float(r), float(hl))
         hits.append(c.depth[0] > 0)

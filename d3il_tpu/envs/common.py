@@ -43,8 +43,10 @@ class RodTaskParams:
     """Static task parameters shared by the rod end-effector tasks."""
 
     def __init__(self, scene: SceneModel, n_substeps: int,
-                 max_steps: int, init_ee_pos=None, init_ee_quat=None):
+                 max_steps: int, init_ee_pos=None, init_ee_quat=None,
+                 kinematic: bool = False):
         self.scene = scene
+        self.kinematic = kinematic
         self.ctrl_chain = panda.build_control_chain()
         self.cart_gains = gains.CartPosQuatGains()
         self.pd_gains = gains.JointPDGains()
@@ -54,15 +56,40 @@ class RodTaskParams:
         self.tcp_body = scene.robot.body_index("tcp")
         init_ee_pos = scenes.INIT_EE_POS if init_ee_pos is None else init_ee_pos
         init_ee_quat = scenes.INIT_EE_QUAT if init_ee_quat is None else init_ee_quat
-        # episode start configuration: offline IK from the default qpos
+        # Episode start configuration: offline IK from the default qpos
         # (reference env start(): gotoCartPosQuatController trajectory[-1] then
-        # beam, e.g. pushing.py:283-333)
-        self.q_init = np.asarray(offline_ik.solve(
-            self.ctrl_chain, init_ee_pos, init_ee_quat, q0=panda.INIT_QPOS),
-            np.float64)
+        # beam, e.g. pushing.py:283-333), then null-space convergence of the
+        # impedance controller's virtual posture. The reference never resets
+        # the controller's old_q across episodes (IKControllers.py:152-161 is
+        # only called at env.start), so after its first episode the virtual
+        # posture has converged to the null-optimal configuration for the
+        # start pose; starting every episode there avoids the violent
+        # saturated-null-space transient the first reference episode exhibits.
+        q_star = offline_ik.solve(
+            self.ctrl_chain, init_ee_pos, init_ee_quat, q0=panda.INIT_QPOS)
+        self.q_init = np.asarray(
+            self._null_converge(q_star, init_ee_pos, init_ee_quat), np.float64)
         self.init_ee_pos = np.asarray(init_ee_pos)
         self.init_ee_quat = np.asarray(init_ee_quat)
-        self._engine_step = estep.make_step_fn(scene)
+        self._engine_step = estep.make_step_fn(scene, kinematic_robot=kinematic)
+
+    def _null_converge(self, q0, ee_pos, ee_quat, iters: int = 4000):
+        """Iterate the cartesian controller's virtual-posture update (no
+        physics) until the null-space drive is stationary."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        des_p = _jnp.asarray(ee_pos, _jnp.float32)
+        des_q = _jnp.asarray(ee_quat, _jnp.float32)
+
+        def body(st, _):
+            st, *_rest = cartesian.step(self.ctrl_chain, self.cart_gains, st,
+                                        des_p, des_q, self.dt)
+            return st, None
+
+        st = cartesian.init_state(_jnp.asarray(q0, _jnp.float32))
+        st, _ = _jax.lax.scan(body, st, None, length=iters)
+        return np.asarray(_jax.device_get(st.q_virt), np.float64)
 
     def tcp_pose(self, sc: estep.SceneState):
         xpos, xquat = chain_mod.fk(self.scene.robot, sc.q)
@@ -76,6 +103,16 @@ def control_substep(params: RodTaskParams, carry, _,
     sc, cs, des_pos, des_quat = carry
     cs, q_des, qd_des, qdd_des = cartesian.step(
         params.ctrl_chain, params.cart_gains, cs, des_pos, des_quat, params.dt)
+    if params.kinematic:
+        # neglect_dynamics mode (reference IKControllers.py:317-319): the arm
+        # is beamed along the IK's virtual trajectory; fingers rate-track the
+        # commanded width; free objects still simulate against the rod.
+        w = jnp.clip(jnp.full((2,), set_width, sc.q.dtype),
+                     sc.q[7:] - 0.2 * params.dt, sc.q[7:] + 0.2 * params.dt)
+        q_new = jnp.concatenate([q_des, w])
+        qd_new = (q_new - sc.q) / params.dt
+        sc = params._engine_step(sc, jnp.concatenate([q_new, qd_new]))
+        return (sc, cs, des_pos, des_quat), None
     tau = joint_pd.feedforward_torque(
         params.ctrl_chain, params.pd_gains, q_des, qd_des, qdd_des,
         sc.q[:7], sc.qd[:7])
@@ -94,6 +131,11 @@ def hold_substep(params: RodTaskParams, carry, _):
     """Joint-PD hold at a fixed setpoint (reset settling: the reference beams
     then runs scene.next_step under the joint tracking controller)."""
     sc, q_hold = carry
+    if params.kinematic:
+        q_new = jnp.concatenate([q_hold, sc.q[7:]])
+        sc = params._engine_step(sc, jnp.concatenate(
+            [q_new, jnp.zeros_like(q_new)]))
+        return (sc, q_hold), None
     z7 = jnp.zeros(7, sc.q.dtype)
     tau = joint_pd.feedforward_torque(
         params.ctrl_chain, params.pd_gains, q_hold, z7, z7, sc.q[:7], sc.qd[:7])

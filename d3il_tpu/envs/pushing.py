@@ -27,9 +27,9 @@ N_MODES = 4
 
 class PushingParams(common.RodTaskParams):
     def __init__(self, n_substeps: int = 35, max_steps: int = 400,
-                 solver_iters: int = 25):
+                 solver_iters: int = 25, kinematic: bool = False):
         super().__init__(scenes.build_pushing_scene(solver_iters),
-                         n_substeps, max_steps)
+                         n_substeps, max_steps, kinematic=kinematic)
         self.target1 = jnp.asarray(scenes.PUSHING_TARGET_1, jnp.float32)
         self.target2 = jnp.asarray(scenes.PUSHING_TARGET_2, jnp.float32)
 

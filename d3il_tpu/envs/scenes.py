@@ -35,10 +35,15 @@ def table_geom() -> emodel.Geom:
 
 def rod_robot_geoms(chain):
     """Rod collision capsule from the MJCF (panda_rod_invisible.xml: body
-    'rod', cylinder size 0.01 0.15 at pos 0 0 0.075 in the hand frame),
-    approximated as a capsule for the batched narrow phase."""
+    'rod', cylinder size 0.01 0.15 at pos 0 0 0.075 in the hand frame).
+
+    Approximated as a capsule whose core is shortened by one radius per end
+    (half-length 0.14 = 0.15 - r) so the rounded caps terminate exactly at
+    the reference cylinder's flat faces — otherwise the capsule reaches one
+    radius below the real rod tip and grazes the table under normal tracking
+    sag, stalling the arm on table friction."""
     hand = chain.body_index("panda_hand")
-    return [emodel.Geom(gtype=emodel.CAPSULE, size=(0.01, 0.15),
+    return [emodel.Geom(gtype=emodel.CAPSULE, size=(0.01, 0.14),
                         body=hand, pos=(0.0, 0.0, 0.075), name="rod")]
 
 
