@@ -36,6 +36,7 @@ class TrainConfig:
     eval_every_n_epochs: int = 10
     window_size: int = 1
     steps_per_epoch: int | None = None  # default: n_windows // batch_size
+    ema_decay: float | None = None      # e.g. 0.995 for diffusion agents
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -58,21 +59,28 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
     opt_state = tx.init(params)
     spe = cfg.steps_per_epoch or max(1, train_data.n_windows // cfg.batch_size)
 
+    ema = cfg.ema_decay
+
     @jax.jit
-    def train_epoch(params, opt_state, key):
+    def train_epoch(params, ema_params, opt_state, key):
         def one_step(carry, k):
-            params, opt_state = carry
+            params, ema_params, opt_state = carry
             k1, k2 = jax.random.split(k)
             obs, act = ds.sample_windows(train_data, k1, cfg.batch_size,
                                          cfg.window_size)
             loss, grads = jax.value_and_grad(loss_fn)(params, obs, act, k2)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            if ema is not None:
+                # EMA of weights (reference ddpm_agent.py:66-70, decay 0.995)
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema * e + (1 - ema) * p, ema_params, params)
+            return (params, ema_params, opt_state), loss
 
         keys = jax.random.split(key, spe)
-        (params, opt_state), losses = jax.lax.scan(one_step, (params, opt_state), keys)
-        return params, opt_state, losses.mean()
+        (params, ema_params, opt_state), losses = jax.lax.scan(
+            one_step, (params, ema_params, opt_state), keys)
+        return params, ema_params, opt_state, losses.mean()
 
     @jax.jit
     def evaluate(params, key):
@@ -84,25 +92,29 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
         return loss_fn(params, obs, act, jax.random.PRNGKey(0))
 
     best_params, best_val = params, np.inf
+    ema_params = params
     history = []
     for epoch in range(cfg.epochs):
         key, k1, k2 = jax.random.split(key, 3)
-        params, opt_state, train_loss = train_epoch(params, opt_state, k1)
+        params, ema_params, opt_state, train_loss = train_epoch(
+            params, ema_params, opt_state, k1)
+        eval_candidate = ema_params if ema is not None else params
         rec = {"epoch": epoch, "train_loss": float(train_loss)}
         if val_data is not None and (epoch + 1) % cfg.eval_every_n_epochs == 0:
-            val = float(evaluate(params, k2))
+            val = float(evaluate(eval_candidate, k2))
             rec["val_loss"] = val
             if val < best_val:
-                best_val, best_params = val, params
+                best_val, best_params = val, eval_candidate
         history.append(rec)
         if log_every and (epoch + 1) % log_every == 0:
             print(f"epoch {epoch+1}/{cfg.epochs} loss {rec['train_loss']:.5f}"
                   + (f" val {rec.get('val_loss'):.5f}" if "val_loss" in rec else ""))
         if callback is not None:
             callback(epoch, params, rec)
+    final_params = ema_params if ema is not None else params
     if val_data is None:
-        best_params = params
-    return best_params, params, history
+        best_params = final_params
+    return best_params, final_params, history
 
 
 def save_checkpoint(path: str, params, extra: dict | None = None):

@@ -72,6 +72,7 @@ class BCAgent:
 
         return apply
 
-    def init_carry(self, obs_dim: int):
+    def init_carry(self, obs_dim: int, key=None):
+        del key  # deterministic policy
         return (jnp.zeros((self.window_size, obs_dim), jnp.float32),
                 jnp.array(0, jnp.int32))

@@ -141,20 +141,29 @@ def build_scene(robot: Chain, robot_geoms: list, free_bodies: list,
 
     free_bodies: list of dicts {name, mass, size (box half extents), friction,
     solref, solimp} — matching the reference's primitive Box objects
-    (PrimitiveObjects.py:47-78 + MjPrimLoader.py MJCF emission).
+    (PrimitiveObjects.py:47-78 + MjPrimLoader.py MJCF emission). A body may
+    instead carry "geoms": a list of Geom-kwarg dicts (compound bodies such as
+    the aligning tray, robot_push_box.xml), with explicit "inertia" [3].
     """
     free_names, free_mass, free_inertia = [], [], []
     free_geoms = []
     for i, fb in enumerate(free_bodies):
         free_names.append(fb["name"])
         free_mass.append(fb["mass"])
-        free_inertia.append(box_inertia(fb["mass"], fb["size"]))
-        free_geoms.append(Geom(
-            gtype=BOX, size=tuple(fb["size"]), free_idx=i,
-            friction=tuple(fb.get("friction", DEFAULT_FRICTION)),
-            solref=tuple(fb.get("solref", DEFAULT_SOLREF)),
-            solimp=tuple(fb.get("solimp", DEFAULT_SOLIMP)),
-            name=fb["name"]))
+        if "geoms" in fb:
+            free_inertia.append(np.asarray(fb["inertia"], np.float64))
+            for j, g in enumerate(fb["geoms"]):
+                free_geoms.append(Geom(
+                    free_idx=i, name=f"{fb['name']}:{j}", **g))
+        else:
+            free_inertia.append(box_inertia(fb["mass"], fb["size"]))
+            free_geoms.append(Geom(
+                gtype=BOX, size=tuple(fb["size"]), free_idx=i,
+                friction=tuple(fb.get("friction", DEFAULT_FRICTION)),
+                solref=tuple(fb.get("solref", DEFAULT_SOLREF)),
+                solimp=tuple(fb.get("solimp", DEFAULT_SOLIMP)),
+                priority=int(fb.get("priority", 0)),
+                name=fb["name"]))
 
     geoms = tuple(robot_geoms) + tuple(free_geoms) + tuple(static_geoms)
 
@@ -176,6 +185,8 @@ def build_scene(robot: Chain, robot_geoms: list, free_bodies: list,
             add_pair(fg, sg)
     for i in range(len(free_geoms)):
         for j in range(i + 1, len(free_geoms)):
+            if free_geoms[i].free_idx == free_geoms[j].free_idx:
+                continue  # same compound body never self-collides
             add_pair(free_geoms[i], free_geoms[j])
     for rg in robot_geoms:
         for fg in free_geoms:

@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--n-trajs", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--kinematic", action="store_true", default=True)
+    ap.add_argument("--ddpm-steps", type=int, default=16)
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
 
@@ -86,12 +87,28 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     key, k1 = jax.random.split(key)
-    agent = BCAgent.create(k1, obs_dim, act_dim, scaler,
-                           hidden_dim=args.hidden, num_hidden_layers=args.layers,
-                           window_size=args.window)
+    kw = dict(hidden_dim=args.hidden, num_hidden_layers=args.layers,
+              window_size=args.window)
+    ema = None
+    if args.agent == "bc":
+        agent = BCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent == "cvae":
+        from d3il_tpu.agents.cvae import CVAEAgent
+        agent = CVAEAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent == "gmm":
+        from d3il_tpu.agents.gmm import GMMAgent
+        agent = GMMAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent == "ddpm":
+        from d3il_tpu.agents.ddpm import DDPMAgent
+        agent = DDPMAgent.create(k1, obs_dim, act_dim, scaler,
+                                 n_timesteps=args.ddpm_steps, **kw)
+        ema = 0.995
+    else:
+        raise ValueError(args.agent)
 
     cfg = agent_base.TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                                 window_size=args.window, eval_every_n_epochs=10)
+                                 window_size=args.window, eval_every_n_epochs=10,
+                                 ema_decay=ema)
     t0 = time.time()
     best, final, hist = agent_base.fit(agent.loss_fn(), agent.params,
                                        train_data, val_data, cfg, key,
@@ -112,7 +129,7 @@ def main():
             env_mod.get_observation, policy_apply)
 
         def run_one(key):
-            carry0 = agent.init_carry(obs_dim)
+            carry0 = agent.init_carry(obs_dim, key)
             state, dones = roll(agent.params, carry0, None)
             return state.success, state.mode_encoding
 
@@ -129,8 +146,9 @@ def main():
             policy_apply)
 
         def run_one(key):
-            ctx = env_mod.sample_context(key)
-            carry0 = agent.init_carry(obs_dim)
+            k1, k2 = jax.random.split(key)
+            ctx = env_mod.sample_context(k1)
+            carry0 = agent.init_carry(obs_dim, k2)
             state, dones = roll(agent.params, carry0, ctx)
             return state.success, state.mode
 
