@@ -28,7 +28,9 @@ _TARGET_NULL = np.array([3.57795216e-09, 1.74532920e-01, 3.30500960e-08,
                          7.85398126e-01])
 
 
-def solve(ctrl_chain, des_pos, des_quat, q0=None, eps=1e-5, it_max=1000):
+def solve(ctrl_chain, des_pos, des_quat, q0=None, eps=1e-5, it_max=4000):
+    # NB: it_max is 4x the reference's IT_MAX=1000 — float32 FK noise makes
+    # the adaptive step shrink early, so convergence needs more iterations.
     """Find q such that FK(q) = (des_pos, des_quat) at panda_grasptarget."""
     ee = ctrl_chain.body_index("panda_grasptarget")
 
@@ -58,6 +60,11 @@ def solve(ctrl_chain, des_pos, des_quat, q0=None, eps=1e-5, it_max=1000):
         if err > old_err:
             q = old_q
             dt *= 0.7
+            if dt < 1e-5:
+                # restart kick: float32 FK noise can wedge the adaptive step
+                # into a shrink-only loop at symmetric postures
+                dt = 1e-3
+                old_err = np.inf
             continue
         dt *= 1.025
         if err < eps:

@@ -76,7 +76,7 @@ def solve_contacts(A, b0, mu, active, n_iters: int):
     Af = A.reshape(nc * 3, nc * 3)
 
     # block diagonal inverses (3x3), regularized
-    diag = jnp.stack([A[i, :, i, :] for i in range(nc)])  # [nc,3,3]
+    diag = jnp.einsum("ckcl->ckl", A)  # [nc,3,3]
     eye = jnp.eye(3, dtype=b0.dtype)
     diag_inv = jnp.linalg.inv(diag + 1e-10 * eye[None])
 

@@ -140,6 +140,31 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
     nv = nv_r + 6 * nf
     h = scene.dt
 
+    # ---- static per-contact-row metadata (vectorized constraint assembly) ----
+    def _side_meta(geoms):
+        body = np.array([max(g.body, 0) for g in geoms], np.int32)
+        is_rob = np.array([1.0 if (g.body >= 0 and g.free_idx < 0) else 0.0
+                           for g in geoms])
+        fidx = np.array([max(g.free_idx, 0) for g in geoms], np.int32)
+        is_free = np.array([1.0 if g.free_idx >= 0 else 0.0 for g in geoms])
+        return body, is_rob, fidx, is_free
+
+    _rows_a, _rows_b = [], []
+    _solref, _solimp, _mu = [], [], []
+    for pair in scene.pairs:
+        for _ in range(pair.max_points):
+            _rows_a.append(pair.geom_a)
+            _rows_b.append(pair.geom_b)
+            _solref.append(pair.solref)
+            _solimp.append(pair.solimp)
+            _mu.append(pair.friction)
+    A_body, A_isrob, A_free, A_isfree = _side_meta(_rows_a)
+    B_body, B_isrob, B_free, B_isfree = _side_meta(_rows_b)
+    ROW_SOLREF = np.asarray(_solref, np.float64)   # [ncon, 2]
+    ROW_SOLIMP = np.asarray(_solimp, np.float64)   # [ncon, 5]
+    ROW_MU = np.asarray(_mu, np.float64)           # [ncon]
+    NCON = len(_mu)
+
     def step(state: SceneState, ctrl: jax.Array) -> SceneState:
         dtype = state.q.dtype
         g = jnp.asarray(scene.gravity, dtype)
@@ -201,92 +226,103 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
                     free_linvel=linvel_new, free_angvel=angvel_new)
             return state._replace(q=q_clamped, qd=qd_new)
 
-        contacts, metas = _contact_rows(scene, state, fk_cache)
+        contacts, _metas = _contact_rows(scene, state, fk_cache)
         ncon = contacts.depth.shape[0]
-        com_w = state.free_pos  # box com == frame origin
 
-        # contact frames
+        # contact frames [nc, 3(dirs), 3(xyz)]
         n = contacts.normal
-        # tangents: deterministic frame
         ref = jnp.where(jnp.abs(n[:, 2:3]) < 0.9,
                         jnp.tile(jnp.array([0.0, 0, 1], dtype), (ncon, 1)),
                         jnp.tile(jnp.array([1.0, 0, 0], dtype), (ncon, 1)))
         t1 = jnp.cross(n, ref)
         t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
         t2 = jnp.cross(n, t1)
-        frames = jnp.stack([n, t1, t2], axis=1)  # [nc, 3(dirs), 3(xyz)]
+        frames = jnp.stack([n, t1, t2], axis=1)
 
-        # Jacobians [nc, 3, nv]
-        def geom_jac(geom, point):
-            J = jnp.zeros((3, nv), dtype)
-            if geom.free_idx >= 0:
-                jf = _point_jac_free(point, com_w[geom.free_idx],
-                                     state.free_quat[geom.free_idx])
-                J = J.at[:, nv_r + 6 * geom.free_idx: nv_r + 6 * (geom.free_idx + 1)].set(jf)
-            elif geom.body >= 0:
-                jr = chain_mod.point_jacobian(
-                    robot, state.q, geom.body, fk_cache=fk_cache)
-                xp, _ = fk_cache
-                jp, jw = jr[:3], jr[3:]
-                # shift from body origin to contact point: v_p = v_o + w x r
-                r = point - xp[geom.body]
-                jp_point = jp + jnp.cross(jw.T, r).T
-                J = J.at[:, :nv_r].set(jp_point)
+        # ---- vectorized contact Jacobians [nc, 3, nv] ----
+        pts = contacts.pos
+
+        def side_jac(body_arr, isrob_arr, free_arr, isfree_arr):
+            bidx = jnp.asarray(body_arr)
+            jp, _ = chain_mod.point_jacobian_batch(robot, state.q, bidx, pts,
+                                                   fk_cache)
+            J_rob = jp * jnp.asarray(isrob_arr, dtype)[:, None, None]
+            J = jnp.concatenate(
+                [J_rob, jnp.zeros((ncon, 3, 6 * nf), dtype)], axis=2) \
+                if nf else J_rob
+            if nf:
+                fidx = jnp.asarray(free_arr)
+                com = state.free_pos[fidx]                       # [nc,3]
+                Rb = quat_ops.to_mat(state.free_quat)[fidx]      # [nc,3,3]
+                r = pts - com
+                # omega_body columns: (Rb e_j) x r = -skew(r) @ Rb
+                rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+                zeros = jnp.zeros_like(rx)
+                skew_r = jnp.stack([
+                    jnp.stack([zeros, -rz, ry], axis=-1),
+                    jnp.stack([rz, zeros, -rx], axis=-1),
+                    jnp.stack([-ry, rx, zeros], axis=-1)], axis=1)
+                Jw = -skew_r @ Rb                                # [nc,3,3]
+                eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ncon, 3, 3))
+                Jf = jnp.concatenate([eye3, Jw], axis=2)         # [nc,3,6]
+                onehot = jax.nn.one_hot(fidx, nf, dtype=dtype) \
+                    * jnp.asarray(isfree_arr, dtype)[:, None]     # [nc,nf]
+                Jf_full = (onehot[:, None, :, None] * Jf[:, :, None, :]).reshape(
+                    ncon, 3, 6 * nf)
+                J = J.at[:, :, nv_r:].add(Jf_full)
             return J
 
-        rows_J = []
-        for idx, pair in enumerate(metas):
-            p = contacts.pos[idx]
-            Ja = geom_jac(pair.geom_a, p)
-            Jb = geom_jac(pair.geom_b, p)
-            rows_J.append(frames[idx] @ (Ja - Jb))  # [3, nv]
-        J = jnp.stack(rows_J)  # [nc, 3, nv]
+        Ja = side_jac(A_body, A_isrob, A_free, A_isfree)
+        Jb = side_jac(B_body, B_isrob, B_free, B_isfree)
+        J = frames @ (Ja - Jb)                                   # [nc,3,nv]
 
         # ---- relative velocity & smooth accelerations ----
-        v_all = jnp.concatenate(
-            [state.qd] + [jnp.concatenate([state.free_linvel[i], state.free_angvel[i]])
-                          for i in range(nf)]) if nf else state.qd
+        v_free = (jnp.concatenate([state.free_linvel, state.free_angvel],
+                                  axis=1).reshape(-1) if nf else
+                  jnp.zeros(0, dtype))
+        v_all = jnp.concatenate([state.qd, v_free])
         if not kinematic_robot:
             a_smooth_arm = jax.scipy.linalg.cho_solve(M_chol, f_arm)  # (M+hD)^-1
-        a_free = [jnp.concatenate([g, (f_free_ang[i]) / I_f[i]]) for i in range(nf)]
-        a_smooth = jnp.concatenate([a_smooth_arm] + a_free) if nf else a_smooth_arm
+        a_free_v = (jnp.concatenate(
+            [jnp.broadcast_to(g, (nf, 3)), f_free_ang / I_f], axis=1).reshape(-1)
+            if nf else jnp.zeros(0, dtype))
+        a_smooth = jnp.concatenate([a_smooth_arm, a_free_v])
 
-        # ---- constraint model ----
+        # ---- constraint model (vectorized over rows) ----
         active = contacts.depth > 0.0
-        mu = jnp.array([p.friction for p in metas], dtype)
-        aref_rows = []
-        R_rows = []
-        # M^-1 J^T blockwise
-        MinvJT = jnp.zeros((nv, ncon, 3), dtype)
-        MinvJT = MinvJT.at[:nv_r].set(
-            jnp.einsum("ij,ckj->ick", Minv_arm, J[:, :, :nv_r]))
-        for i in range(nf):
-            sl = slice(nv_r + 6 * i, nv_r + 6 * i + 3)
-            MinvJT = MinvJT.at[sl].set(
-                jnp.einsum("ckj->jck", J[:, :, sl]) / m_f[i])
-            sl2 = slice(nv_r + 6 * i + 3, nv_r + 6 * i + 6)
-            MinvJT = MinvJT.at[sl2].set(
-                jnp.einsum("ckj->jck", J[:, :, sl2]) / I_f[i][:, None, None])
+        mu = jnp.asarray(ROW_MU, dtype)
+        # block inverse-mass application: M^-1 J^T
+        MinvJT_arm = jnp.einsum("ij,ckj->ick", Minv_arm, J[:, :, :nv_r])
+        if nf:
+            Jfree = J[:, :, nv_r:].reshape(ncon, 3, nf, 6)
+            inv_lin = (1.0 / m_f)[None, None, :, None]
+            inv_ang = (1.0 / I_f)[None, None, :, :]
+            MinvJT_free = jnp.concatenate(
+                [Jfree[..., :3] * inv_lin, Jfree[..., 3:] * inv_ang],
+                axis=-1).reshape(ncon, 3, nv - nv_r)
+            MinvJT = jnp.concatenate(
+                [MinvJT_arm.transpose(1, 2, 0),
+                 MinvJT_free], axis=2).transpose(2, 0, 1)  # [nv, nc, 3]
+        else:
+            MinvJT = MinvJT_arm
         A = jnp.einsum("cki,idl->ckdl", J, MinvJT)  # [nc,3,nc,3]
 
-        vel = jnp.einsum("cki,i->ck", J, v_all)       # [nc,3]
-        a0 = jnp.einsum("cki,i->ck", J, a_smooth)     # [nc,3]
+        vel = jnp.einsum("cki,i->ck", J, v_all)
+        a0 = jnp.einsum("cki,i->ck", J, a_smooth)
 
-        for idx, pair in enumerate(metas):
-            r = -contacts.depth[idx]  # violation (negative when penetrating)
-            k, b, d = solver_mod.kbi(
-                jnp.asarray(pair.solref, dtype), jnp.asarray(pair.solimp, dtype), r)
-            aref_n = -b * vel[idx, 0] - k * d * r
-            aref_t = -b * vel[idx, 1:]  # friction rows: zero position term
-            aref_rows.append(jnp.concatenate([aref_n[None], aref_t]))
-            diagA = jnp.stack([A[idx, kk, idx, kk] for kk in range(3)])
-            Rr = (1 - d) / jnp.maximum(d, 1e-6) * diagA
-            # impratio: frictional impedance / normal impedance (option impratio=3
-            # in the reference base.xml) -> smaller regularizer on friction rows
-            Rr = Rr.at[1:].set(Rr[1:] / scene.impratio)
-            R_rows.append(Rr)
-        aref = jnp.stack(aref_rows)
-        Rreg = jnp.stack(R_rows)
+        r_vio = -contacts.depth
+        k_r, b_r, d_r = solver_mod.kbi(
+            (jnp.asarray(ROW_SOLREF[:, 0], dtype), jnp.asarray(ROW_SOLREF[:, 1], dtype)),
+            tuple(jnp.asarray(ROW_SOLIMP[:, i], dtype) for i in range(5)),
+            r_vio)
+        aref = jnp.concatenate([
+            (-b_r * vel[:, 0] - k_r * d_r * r_vio)[:, None],
+            -b_r[:, None] * vel[:, 1:]], axis=1)                # [nc,3]
+        diag_blocks = jnp.einsum("ckcl->ckl", A)                 # [nc,3,3]
+        diagA = jnp.diagonal(diag_blocks, axis1=1, axis2=2)      # [nc,3]
+        Rr = (1 - d_r)[:, None] / jnp.maximum(d_r, 1e-6)[:, None] * diagA
+        # impratio (base.xml option impratio=3): stiffer friction rows
+        Rreg = Rr.at[:, 1:].set(Rr[:, 1:] / scene.impratio)
         A = A.at[jnp.arange(ncon)[:, None], jnp.arange(3)[None, :],
                  jnp.arange(ncon)[:, None], jnp.arange(3)[None, :]].add(Rreg)
 

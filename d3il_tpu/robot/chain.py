@@ -235,6 +235,28 @@ def point_jacobian(chain: Chain, q: jax.Array, body: int, offset=None,
     return jnp.concatenate([jp.T, jr.T], axis=0)  # [6, nv]
 
 
+def point_jacobian_batch(chain: Chain, q: jax.Array, body_idx: jax.Array,
+                         points: jax.Array, fk_cache):
+    """Geometric Jacobians for a batch of world points on (varying) bodies.
+
+    body_idx: [n] int32, points: [n, 3] world coordinates. Returns
+    (Jp [n, 3, nv], Jr [n, 3, nv]). Vectorized (one gather + batched cross
+    products) — the assembly path for contact constraint rows.
+    """
+    xpos, xquat = fk_cache
+    dtype = q.dtype
+    axes, anchors = _dof_frames(chain, xpos, xquat)          # [nv,3]
+    mask = jnp.asarray(chain.ancestor_mask, dtype)[body_idx]  # [n, nv]
+    is_hinge = jnp.asarray(
+        (chain.joint_type[chain.dof_body] == HINGE).astype(np.float64), dtype)
+    diff = points[:, None, :] - anchors[None, :, :]           # [n, nv, 3]
+    jp_h = jnp.cross(jnp.broadcast_to(axes[None], diff.shape), diff)
+    jp = mask[..., None] * (is_hinge[None, :, None] * jp_h
+                            + (1 - is_hinge)[None, :, None] * axes[None])
+    jr = mask[..., None] * is_hinge[None, :, None] * axes[None]
+    return jp.transpose(0, 2, 1), jr.transpose(0, 2, 1)
+
+
 def _body_jacobians(chain: Chain, q: jax.Array):
     """COM Jacobians of all bodies: Jp [nb,3,nv], Jr [nb,3,nv], plus fk data."""
     xpos, xquat = fk(chain, q)
