@@ -66,8 +66,7 @@ class BCAgent:
             w = window[idx]
             x = scaler.scale_input(w).reshape(-1)
             pred = model.apply(params, x[None])[0]
-            act = scaler.inverse_scale_output(pred)
-            act = scaler.clip_action(act)
+            act = scaler.inverse_scale_output(scaler.clip_action(pred))
             return (window, filled), act
 
         return apply

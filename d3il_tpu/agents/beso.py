@@ -1,0 +1,229 @@
+"""BESO agent: continuous-time score matching (EDM) with k-diffusion samplers.
+
+Reference: agents/beso_agent.py:24 (sample_loop 443-513, noise schedules
+637+) / models/beso/...: `GCDenoiser` EDM preconditioning
+(score_wrappers.py:18), DiffusionGPT backbone (score_gpts.py:118), and the
+k-diffusion sampler zoo (gc_sampling.py:168-1018). This port implements the
+EDM wrapper + the samplers the benchmark configs use (ddim, euler,
+euler_ancestral, heun, dpmpp_2s_ancestral) and the karras / exponential
+/ linear sigma schedules (gc_sampling.py:26-96); default 1-3 step sampling.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from d3il_tpu.agents.nets.mlp import ResidualMLP, mish
+from d3il_tpu.agents.ddpm import TimeEmbed
+from d3il_tpu.data.scaler import Scaler
+
+SIGMA_DATA = 0.5
+SIGMA_MIN, SIGMA_MAX = 0.001, 1.0
+
+
+class ScoreMLP(nn.Module):
+    hidden_dim: int = 256
+    num_hidden_layers: int = 4
+    action_dim: int = 2
+    t_dim: int = 16
+
+    @nn.compact
+    def __call__(self, s, a, sigma):
+        temb = TimeEmbed(self.t_dim)(jnp.log(sigma) / 4.0)
+        x = jnp.concatenate([s, a, temb], axis=-1)
+        return ResidualMLP(self.hidden_dim, self.num_hidden_layers,
+                           self.action_dim)(x)
+
+
+def edm_denoise(model, params, s, a, sigma):
+    """EDM preconditioning (score_wrappers.py:18, Karras et al. 2022)."""
+    sig = sigma[..., None]
+    c_skip = SIGMA_DATA ** 2 / (sig ** 2 + SIGMA_DATA ** 2)
+    c_out = sig * SIGMA_DATA / jnp.sqrt(sig ** 2 + SIGMA_DATA ** 2)
+    c_in = 1.0 / jnp.sqrt(sig ** 2 + SIGMA_DATA ** 2)
+    F = model.apply(params, s, c_in * a, sigma)
+    return c_skip * a + c_out * F
+
+
+def karras_sigmas(n: int, rho: float = 7.0):
+    ramp = np.linspace(0, 1, n)
+    s = (SIGMA_MAX ** (1 / rho) + ramp * (SIGMA_MIN ** (1 / rho)
+                                          - SIGMA_MAX ** (1 / rho))) ** rho
+    return jnp.asarray(np.append(s, 0.0), jnp.float32)
+
+
+def exponential_sigmas(n: int):
+    s = np.exp(np.linspace(np.log(SIGMA_MAX), np.log(SIGMA_MIN), n))
+    return jnp.asarray(np.append(s, 0.0), jnp.float32)
+
+
+def linear_sigmas(n: int):
+    s = np.linspace(SIGMA_MAX, SIGMA_MIN, n)
+    return jnp.asarray(np.append(s, 0.0), jnp.float32)
+
+
+SIGMA_SCHEDULES = {"karras": karras_sigmas, "exponential": exponential_sigmas,
+                   "linear": linear_sigmas}
+
+
+def _to_d(a, sigma, denoised):
+    return (a - denoised) / jnp.maximum(sigma, 1e-12)
+
+
+def sample_euler(denoise, a, sigmas, key):
+    def body(a, i):
+        d = _to_d(a, sigmas[i], denoise(a, sigmas[i]))
+        return a + d * (sigmas[i + 1] - sigmas[i]), None
+    a, _ = jax.lax.scan(body, a, jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_ddim(denoise, a, sigmas, key):
+    def body(a, i):
+        den = denoise(a, sigmas[i])
+        ratio = sigmas[i + 1] / jnp.maximum(sigmas[i], 1e-12)
+        return den + ratio * (a - den), None
+    a, _ = jax.lax.scan(body, a, jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_euler_ancestral(denoise, a, sigmas, key):
+    def body(carry, i):
+        a, key = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        var_up = (sn ** 2 * (s ** 2 - sn ** 2) / jnp.maximum(s ** 2, 1e-12))
+        sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sn ** 2 - sigma_up ** 2, 0.0))
+        d = _to_d(a, s, den)
+        a = a + d * (sigma_down - s)
+        key, k = jax.random.split(key)
+        a = a + jax.random.normal(k, a.shape) * sigma_up
+        return (a, key), None
+    (a, _), _ = jax.lax.scan(body, (a, key), jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_heun(denoise, a, sigmas, key):
+    def body(a, i):
+        s, sn = sigmas[i], sigmas[i + 1]
+        d = _to_d(a, s, denoise(a, s))
+        a_e = a + d * (sn - s)
+        d2 = _to_d(a_e, jnp.maximum(sn, 1e-12), denoise(a_e, jnp.maximum(sn, SIGMA_MIN)))
+        a_h = a + 0.5 * (d + d2) * (sn - s)
+        return jnp.where(sn > 0, a_h, a + d * (sn - s)), None
+    a, _ = jax.lax.scan(body, a, jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_dpmpp_2s_ancestral(denoise, a, sigmas, key):
+    def body(carry, i):
+        a, key = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        var_up = sn ** 2 * (s ** 2 - sn ** 2) / jnp.maximum(s ** 2, 1e-12)
+        sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sn ** 2 - sigma_up ** 2, 0.0))
+        t, tn = -jnp.log(jnp.maximum(s, 1e-12)), -jnp.log(jnp.maximum(sigma_down, 1e-12))
+        r = (tn - t) / 2
+        s_mid = jnp.exp(-(t + r))
+        a_2 = (s_mid / jnp.maximum(s, 1e-12)) * a \
+            - jnp.expm1(-r) * den
+        den2 = denoise(a_2, s_mid)
+        a_new = (sigma_down / jnp.maximum(s, 1e-12)) * a \
+            - jnp.expm1(tn - t) * (-den2)
+        # fall back to euler-ancestral form when sigma_down == 0
+        d = _to_d(a, s, den)
+        a_eul = a + d * (sigma_down - s)
+        a_new = jnp.where(sigma_down > 1e-10, a_new, a_eul)
+        key, k = jax.random.split(key)
+        a_new = a_new + jax.random.normal(k, a.shape) * sigma_up
+        return (a_new, key), None
+    (a, _), _ = jax.lax.scan(body, (a, key), jnp.arange(len(sigmas) - 1))
+    return a
+
+
+SAMPLERS = {"euler": sample_euler, "ddim": sample_ddim,
+            "euler_ancestral": sample_euler_ancestral, "heun": sample_heun,
+            "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral}
+
+
+@dataclass
+class BesoAgent:
+    model: ScoreMLP
+    params: Any
+    scaler: Scaler
+    n_steps: int = 3
+    sampler: str = "ddim"
+    schedule: str = "exponential"
+    window_size: int = 1
+
+    @staticmethod
+    def create(key, obs_dim, action_dim, scaler, hidden_dim=256,
+               num_hidden_layers=4, n_steps=3, sampler="ddim",
+               schedule="exponential", window_size=1, **_):
+        model = ScoreMLP(hidden_dim=hidden_dim,
+                         num_hidden_layers=num_hidden_layers,
+                         action_dim=action_dim)
+        params = model.init(key, jnp.zeros((1, obs_dim * window_size)),
+                            jnp.zeros((1, action_dim)), jnp.ones((1,)))
+        return BesoAgent(model=model, params=params, scaler=scaler,
+                         n_steps=n_steps, sampler=sampler, schedule=schedule,
+                         window_size=window_size)
+
+    def loss_fn(self):
+        """EDM weighted denoising loss with log-normal sigma density
+        (beso_agent.py:597+ sigma distribution, rand_log_logistic-ish)."""
+        model, scaler = self.model, self.scaler
+
+        def loss(params, obs_w, act_w, key):
+            B = obs_w.shape[0]
+            s = scaler.scale_input(obs_w).reshape(B, -1)
+            a0 = scaler.scale_output(act_w[:, -1])
+            k1, k2 = jax.random.split(key)
+            # log-uniform sigma in [SIGMA_MIN, SIGMA_MAX]
+            u = jax.random.uniform(k1, (B,))
+            sigma = jnp.exp(u * (jnp.log(SIGMA_MAX) - jnp.log(SIGMA_MIN))
+                            + jnp.log(SIGMA_MIN))
+            noise = jax.random.normal(k2, a0.shape)
+            a_noisy = a0 + sigma[:, None] * noise
+            den = edm_denoise(model, params, s, a_noisy, sigma)
+            w = (sigma ** 2 + SIGMA_DATA ** 2) / (sigma * SIGMA_DATA) ** 2
+            return jnp.mean(w[:, None] * (den - a0) ** 2)
+
+        return loss
+
+    def policy_apply(self):
+        model, scaler, W = self.model, self.scaler, self.window_size
+        sigmas = SIGMA_SCHEDULES[self.schedule](self.n_steps)
+        sampler_fn = SAMPLERS[self.sampler]
+        adim = None
+
+        def apply(params, carry, obs):
+            window, filled, key = carry
+            window = jnp.concatenate([window[1:], obs[None]], axis=0)
+            filled = jnp.minimum(filled + 1, W)
+            idx = jnp.maximum(jnp.arange(W), W - filled)
+            s = scaler.scale_input(window[idx]).reshape(1, -1)
+
+            def denoise(a, sigma):
+                return edm_denoise(model, params, s, a,
+                                   jnp.broadcast_to(sigma, (1,)))
+
+            key, k0, k1 = jax.random.split(key, 3)
+            a = jax.random.normal(k0, (1, scaler.y_mean.shape[-1])) * SIGMA_MAX
+            a = sampler_fn(denoise, a, sigmas, k1)[0]
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
+            return (window, filled, key), act
+
+        return apply
+
+    def init_carry(self, obs_dim, key=None):
+        return (jnp.zeros((self.window_size, obs_dim), jnp.float32),
+                jnp.array(0, jnp.int32),
+                key if key is not None else jax.random.PRNGKey(0))

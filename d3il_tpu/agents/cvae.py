@@ -93,7 +93,7 @@ class CVAEAgent:
             key, sub = jax.random.split(key)
             z = jnp.clip(jax.random.normal(sub, (latent_dim,)), -0.5, 0.5)
             pred = model.apply(params, x[None], z[None], method=CVAENet.decode)[0]
-            act = scaler.clip_action(scaler.inverse_scale_output(pred))
+            act = scaler.inverse_scale_output(scaler.clip_action(pred))
             return (window, filled, key), act
 
         return apply

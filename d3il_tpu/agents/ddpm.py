@@ -145,7 +145,7 @@ class DDPMAgent:
             x = scaler.scale_input(window[idx]).reshape(-1)
             key, sub = jax.random.split(key)
             a = agent.sample(params, x[None], sub)[0]
-            act = scaler.clip_action(scaler.inverse_scale_output(a))
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
             return (window, filled, key), act
 
         return apply

@@ -89,7 +89,7 @@ class GMMAgent:
             comp = jax.random.categorical(k1, logits[0])
             std = jnp.where(low_noise, 1e-4, 1.0) * stds[0, comp]
             a = means[0, comp] + std * jax.random.normal(k2, std.shape)
-            act = scaler.clip_action(scaler.inverse_scale_output(a))
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
             return (window, filled, key), act
 
         return apply

@@ -150,6 +150,17 @@ def load_task_dataset(data_dir: str, files, assemble_fn, max_len: int,
     return build(eps, max_len, window_size)
 
 
+def rewindow(data: TrajectoryData, window_size: int) -> TrajectoryData:
+    """Recompute the valid window-start index table for a new window size."""
+    masks = np.asarray(data.masks)
+    slices = []
+    for i in range(masks.shape[0]):
+        T = int(masks[i].sum())
+        if T - window_size >= 0:
+            slices.extend((i, s) for s in range(T - window_size + 1))
+    return data._replace(slices=jnp.asarray(np.array(slices, np.int32)))
+
+
 def sample_windows(data: TrajectoryData, key, batch_size: int,
                    window_size: int):
     """Jittable minibatch sampler: gather [B, W, D] windows."""

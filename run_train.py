@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--kinematic", action="store_true", default=True)
     ap.add_argument("--ddpm-steps", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
 
@@ -103,8 +104,38 @@ def main():
         agent = DDPMAgent.create(k1, obs_dim, act_dim, scaler,
                                  n_timesteps=args.ddpm_steps, **kw)
         ema = 0.995
+    elif args.agent == "gpt_bc":
+        from d3il_tpu.agents.gpt_bc import GPTBCAgent
+        kw["window_size"] = max(args.window, 5)
+        agent = GPTBCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent in ("bet", "bet_mlp"):
+        from d3il_tpu.agents.bet import BeTAgent
+        acts_scaled = np.asarray(scaler.scale_output(jnp.asarray(y)))
+        agent = BeTAgent.create(k1, obs_dim, act_dim, scaler, acts_scaled,
+                                use_gpt=(args.agent == "bet"), **kw)
+    elif args.agent == "ibc":
+        from d3il_tpu.agents.ibc import IBCAgent
+        agent = IBCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent == "beso":
+        from d3il_tpu.agents.beso import BesoAgent
+        agent = BesoAgent.create(k1, obs_dim, act_dim, scaler, **kw)
+    elif args.agent == "act":
+        from d3il_tpu.agents.act import ACTAgent
+        agent = ACTAgent.create(k1, obs_dim, act_dim, scaler, chunk=args.chunk)
+    elif args.agent == "ddpm_encdec":
+        from d3il_tpu.agents.ddpm_encdec import DDPMEncDecAgent
+        agent = DDPMEncDecAgent.create(k1, obs_dim, act_dim, scaler,
+                                       chunk=args.chunk,
+                                       n_timesteps=args.ddpm_steps)
+        ema = 0.995
     else:
         raise ValueError(args.agent)
+    # chunked/windowed agents train on wider windows: rebuild index tables
+    want_window = getattr(agent, "train_window", None) or agent.window_size
+    if want_window != args.window:
+        args.window = want_window
+        train_data = ds.rewindow(train_data, args.window)
+        val_data = ds.rewindow(val_data, args.window)
 
     cfg = agent_base.TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                                  window_size=args.window, eval_every_n_epochs=10,

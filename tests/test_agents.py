@@ -1,0 +1,153 @@
+"""Agent zoo smoke tests: every agent trains (loss decreases, finite) and
+produces in-bounds actions through its policy_apply interface on a synthetic
+bimodal dataset — the shape/semantics contract for the full benchmark runs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from d3il_tpu.agents import base as agent_base
+from d3il_tpu.data import dataset as ds
+from d3il_tpu.data.scaler import Scaler
+
+OBS_DIM, ACT_DIM = 4, 2
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n, T = 12, 40
+    obs = rng.normal(size=(n, T, OBS_DIM)).astype(np.float32)
+    # bimodal actions conditioned on obs sign
+    mode = np.sign(obs[..., :1])
+    act = (0.01 * mode + 0.002 * rng.normal(size=(n, T, ACT_DIM))).astype(np.float32)
+    eps = [(obs[i], act[i]) for i in range(n)]
+    d = ds.build(eps, max_len=T, window_size=8)
+    x, y = ds.all_valid(d)
+    return d, Scaler.fit(x, y)
+
+
+def _fit(agent, data, window, epochs=3, ema=None):
+    d, scaler = data
+    d = ds.rewindow(d, window)
+    cfg = agent_base.TrainConfig(epochs=epochs, batch_size=64,
+                                 window_size=window, eval_every_n_epochs=100,
+                                 ema_decay=ema, steps_per_epoch=8)
+    best, final, hist = agent_base.fit(agent.loss_fn(), agent.params, d, None,
+                                       cfg, jax.random.PRNGKey(0))
+    losses = [h["train_loss"] for h in hist]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.5  # not diverging
+    return final
+
+
+def _policy_roundtrip(agent, params):
+    apply = agent.policy_apply()
+    carry = agent.init_carry(OBS_DIM, jax.random.PRNGKey(1))
+    obs = jnp.ones(OBS_DIM) * 0.3
+    for _ in range(3):
+        carry, act = jax.jit(apply)(params, carry, obs)
+    act = np.asarray(act)
+    assert act.shape == (ACT_DIM,)
+    assert np.isfinite(act).all()
+    lo = np.asarray(agent.scaler.inverse_scale_output(agent.scaler.y_bounds[0] * 1.1))
+    hi = np.asarray(agent.scaler.inverse_scale_output(agent.scaler.y_bounds[1] * 1.1))
+    assert (act >= lo - 1e-5).all() and (act <= hi + 1e-5).all()
+
+
+def test_bc(data):
+    from d3il_tpu.agents.bc import BCAgent
+    ag = BCAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                        hidden_dim=32, num_hidden_layers=2)
+    ag.params = _fit(ag, data, 1)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_cvae(data):
+    from d3il_tpu.agents.cvae import CVAEAgent
+    ag = CVAEAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                          hidden_dim=32, num_hidden_layers=2, latent_dim=8)
+    ag.params = _fit(ag, data, 1)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_gmm(data):
+    from d3il_tpu.agents.gmm import GMMAgent
+    ag = GMMAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                         hidden_dim=32, num_hidden_layers=2, n_gaussians=4)
+    ag.params = _fit(ag, data, 1)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_ddpm(data):
+    from d3il_tpu.agents.ddpm import DDPMAgent
+    ag = DDPMAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                          hidden_dim=32, num_hidden_layers=2, n_timesteps=4)
+    ag.params = _fit(ag, data, 1, ema=0.995)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_gpt_bc(data):
+    from d3il_tpu.agents.gpt_bc import GPTBCAgent
+    ag = GPTBCAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                           n_embd=32, n_layer=2, window_size=5)
+    ag.params = _fit(ag, data, 5)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_bet_mlp(data):
+    from d3il_tpu.agents.bet import BeTAgent
+    d, scaler = data
+    x, y = ds.all_valid(d)
+    acts = np.asarray(scaler.scale_output(jnp.asarray(y)))
+    ag = BeTAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, scaler, acts,
+                         hidden_dim=32, num_hidden_layers=2, n_bins=8)
+    ag.params = _fit(ag, data, 1)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_bet_gpt(data):
+    from d3il_tpu.agents.bet import BeTAgent
+    d, scaler = data
+    x, y = ds.all_valid(d)
+    acts = np.asarray(scaler.scale_output(jnp.asarray(y)))
+    ag = BeTAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, scaler, acts,
+                         n_bins=8, use_gpt=True, window_size=5, n_embd=32,
+                         n_layer=2)
+    ag.params = _fit(ag, data, 5)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_ibc(data):
+    from d3il_tpu.agents.ibc import IBCAgent
+    ag = IBCAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                         hidden_dim=32, num_hidden_layers=2)
+    ag.n_infer_samples = 16
+    ag.params = _fit(ag, data, 1)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_act(data):
+    from d3il_tpu.agents.act import ACTAgent
+    ag = ACTAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                         chunk=4, embed_dim=32, latent_dim=8)
+    ag.params = _fit(ag, data, 4)
+    _policy_roundtrip(ag, ag.params)
+
+
+def test_beso(data):
+    from d3il_tpu.agents.beso import BesoAgent
+    for sampler in ("ddim", "euler_ancestral", "dpmpp_2s_ancestral"):
+        ag = BesoAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM, data[1],
+                              hidden_dim=32, num_hidden_layers=2, n_steps=3,
+                              sampler=sampler)
+        ag.params = _fit(ag, data, 1)
+        _policy_roundtrip(ag, ag.params)
+
+
+def test_ddpm_encdec(data):
+    from d3il_tpu.agents.ddpm_encdec import DDPMEncDecAgent
+    ag = DDPMEncDecAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM,
+                                data[1], chunk=4, embed_dim=32, n_timesteps=4)
+    ag.params = _fit(ag, data, 4, ema=0.995)
+    _policy_roundtrip(ag, ag.params)
