@@ -36,9 +36,10 @@ def _freeze(mask, new, old):
 
 
 def make_rod_rollout(params, reset_fn, step_fn, observe_fn, policy_apply,
-                     max_steps: int | None = None):
-    """Build a jittable single-episode rollout for the delta-xy action tasks
-    (Avoiding, Pushing, Sorting; Aligning uses delta-xyz via its own variant).
+                     max_steps: int | None = None, pos_dim: int = 2):
+    """Build a jittable single-episode rollout for the Cartesian-delta tasks
+    (Avoiding/Pushing/Sorting: delta-xy, pos_dim=2; Aligning: delta-xyz,
+    pos_dim=3 per aligning_sim.py:105-116).
 
     policy_apply(policy_params, carry, obs) -> (carry, delta_action)
     Returns rollout(policy_params, policy_carry0, context)
@@ -53,21 +54,62 @@ def make_rod_rollout(params, reset_fn, step_fn, observe_fn, policy_apply,
         obs0 = observe_fn(params, state)
 
         def body(carry, _):
-            state, pc, prev_xy, prev_obs, finished = carry
-            obs_policy = jnp.concatenate([prev_xy, prev_obs])
+            state, pc, prev_pos, prev_obs, finished = carry
+            obs_policy = jnp.concatenate([prev_pos, prev_obs])
             pc2, delta = policy_apply(policy_params, pc, obs_policy)
-            abs_xy = delta[:2] + prev_xy
+            abs_pos = delta[:pos_dim] + prev_pos
+            if pos_dim == 2:
+                pos3 = jnp.concatenate([abs_pos, fixed_z])
+            else:
+                pos3 = abs_pos
             action = jnp.concatenate(
-                [abs_xy, fixed_z, jnp.array([0.0, 1.0, 0.0, 0.0], abs_xy.dtype)])
+                [pos3, jnp.array([0.0, 1.0, 0.0, 0.0], abs_pos.dtype)])
             new_state, res = step_fn(params, state, action)
             state2 = _freeze(finished, new_state, state)
             pc2 = _freeze(finished, pc2, pc)
-            new_xy = jnp.where(finished, prev_xy, abs_xy)
+            new_pos = jnp.where(finished, prev_pos, abs_pos)
             new_obs = jnp.where(finished, prev_obs, res.obs)
             now_finished = finished | res.done
-            return (state2, pc2, new_xy, new_obs, now_finished), res.done
+            return (state2, pc2, new_pos, new_obs, now_finished), res.done
 
-        init = (state, policy_carry0, tcp_pos[:2], obs0, jnp.array(False))
+        init = (state, policy_carry0, tcp_pos[:pos_dim], obs0, jnp.array(False))
+        (state, _, _, _, _), dones = jax.lax.scan(body, init, None, length=T)
+        return state, dones
+
+    return rollout
+
+
+def make_joint_rollout(params, reset_fn, step_fn, observe_fn, robot_state_fn,
+                       policy_apply, max_steps: int | None = None):
+    """Joint-space rollout for Stacking (stacking_sim.py:92-141):
+
+      obs_policy = concat(prev_action8, env_obs)       # 8 + 12 = 20 dims
+      pred = policy(obs_policy); q_des = pred[:7] + prev_action8[:7]
+      env action = [q_des, pred[7]] (gripper width passed through raw)
+
+    prev_action8 initialized from robot_state() after reset (j_pos + width).
+    """
+    T = max_steps if max_steps is not None else params.max_steps
+
+    def rollout(policy_params, policy_carry0, context):
+        state = reset_fn(params, context)
+        prev_a = robot_state_fn(params, state)
+        obs0 = observe_fn(params, state)
+
+        def body(carry, _):
+            state, pc, prev_a, prev_obs, finished = carry
+            obs_policy = jnp.concatenate([prev_a, prev_obs])
+            pc2, pred = policy_apply(policy_params, pc, obs_policy)
+            action = jnp.concatenate([pred[:7] + prev_a[:7], pred[7:8]])
+            new_state, res = step_fn(params, state, action)
+            state2 = _freeze(finished, new_state, state)
+            pc2 = _freeze(finished, pc2, pc)
+            new_a = jnp.where(finished, prev_a, action)
+            new_obs = jnp.where(finished, prev_obs, res.obs)
+            now_finished = finished | res.done
+            return (state2, pc2, new_a, new_obs, now_finished), res.done
+
+        init = (state, policy_carry0, prev_a, obs0, jnp.array(False))
         (state, _, _, _, _), dones = jax.lax.scan(body, init, None, length=T)
         return state, dones
 

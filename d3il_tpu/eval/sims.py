@@ -1,0 +1,263 @@
+"""Per-task evaluation harnesses ("sims"), batched on device.
+
+Functional replacement for the reference simulation/*_sim.py classes: instead
+of spawning one OS process per CPU core with shared-memory result tensors
+(pushing_sim.py:93-138), every (context x trajectory) episode is one lane of
+a vmapped, jitted rollout running in lockstep on the accelerator.
+
+Each Sim exposes `test_agent(agent) -> dict` returning the reference's
+metrics (success rate, behavioral entropy, KL, composite score) with the
+same formulas (see eval/metrics.py for per-task citations). Fixed test
+contexts are derived from PRNGKey(2), mirroring the reference's seed-2
+context files (environments/dataset/data/pushing/get_contexts.py:14-25).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from d3il_tpu.eval import metrics, rollout
+
+CONTEXT_SEED = 2
+
+
+def _context_keys(n: int, seed: int = CONTEXT_SEED):
+    return jax.random.split(jax.random.PRNGKey(seed), n)
+
+
+def _grid(n_contexts: int, n_trajs: int, seed: int):
+    """Flattened (context index, agent key) grid [C*T]."""
+    cidx = np.repeat(np.arange(n_contexts), n_trajs)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), n_contexts * n_trajs)
+    return jnp.asarray(cidx), keys
+
+
+@dataclass
+class AvoidingSim:
+    """avoiding_sim.py: no contexts; N trajectories, entropy base 24."""
+    seed: int = 0
+    n_trajectories: int = 48
+
+    def test_agent(self, agent, params=None):
+        from d3il_tpu.envs import avoiding as env
+        params = params or avoiding_params()
+        roll = rollout.make_rod_rollout(
+            params, lambda p, c: env.reset(p), env.step, env.get_observation,
+            agent.policy_apply())
+        obs_dim = 4  # des xy + cur xy (avoiding_sim.py:60-66)
+
+        def run_one(key):
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, None)
+            return state.success, state.mode_encoding
+
+        keys = jax.random.split(jax.random.PRNGKey(self.seed + 1),
+                                self.n_trajectories)
+        succ, enc = jax.jit(jax.vmap(run_one))(keys)
+        jax.block_until_ready(succ)
+        return {k: float(v) for k, v in metrics.avoiding_score(
+            jnp.asarray(succ, jnp.float32), jnp.asarray(enc)).items()}
+
+
+@dataclass
+class PushingSim:
+    seed: int = 0
+    n_contexts: int = 30
+    n_trajectories_per_context: int = 8
+
+    def test_agent(self, agent, params=None):
+        from d3il_tpu.envs import pushing as env
+        params = params or pushing_params()
+        roll = rollout.make_rod_rollout(
+            params, env.reset, env.step, env.get_observation,
+            agent.policy_apply())
+        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
+                           self.seed)
+        obs_dim = 10
+
+        def run_one(ci, key):
+            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, ctx)
+            return state.success, state.mode
+
+        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        jax.block_until_ready(succ)
+        C, T = self.n_contexts, self.n_trajectories_per_context
+        return {k: float(v) for k, v in metrics.pushing_score(
+            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(modes).reshape(C, T)).items()}
+
+
+@dataclass
+class AligningSim:
+    seed: int = 0
+    n_contexts: int = 30
+    n_trajectories_per_context: int = 8
+
+    def test_agent(self, agent, params=None):
+        from d3il_tpu.envs import aligning as env
+        params = params or aligning_params()
+        roll = rollout.make_rod_rollout(
+            params, env.reset, env.step, env.get_observation,
+            agent.policy_apply(), pos_dim=3)
+        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
+                           self.seed)
+        obs_dim = 20
+
+        def run_one(ci, key):
+            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, ctx)
+            pos_d = jnp.linalg.norm(state.scene.free_pos[0] - state.target_pos)
+            rot_d = env.rotation_distance(state.scene.free_quat[0],
+                                          state.target_quat) / jnp.pi
+            return state.success, state.mode, 0.5 * (pos_d + rot_d)
+
+        succ, modes, dist = jax.jit(jax.vmap(run_one))(cidx, keys)
+        jax.block_until_ready(succ)
+        C, T = self.n_contexts, self.n_trajectories_per_context
+        return {k: float(v) for k, v in metrics.aligning_score(
+            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(modes).reshape(C, T),
+            jnp.asarray(dist).reshape(C, T)).items()}
+
+
+@dataclass
+class SortingSim:
+    """sorting_sim.py: mode = bit-packed color order; score SR - KL vs the
+    demo mode prior (passed in as (mode_keys, prior), computed from the demo
+    data like the reference's mode_prob pickles)."""
+    seed: int = 0
+    num_boxes: int = 2
+    n_contexts: int = 30
+    n_trajectories_per_context: int = 8
+    max_steps: int = 700
+
+    def test_agent(self, agent, params=None, mode_keys=None, prior=None):
+        from d3il_tpu.envs import sorting as env
+        params = params or sorting_params(self.num_boxes,
+                                          max_steps=self.max_steps)
+        roll = rollout.make_rod_rollout(
+            params, env.reset, env.step, env.get_observation,
+            agent.policy_apply())
+        sample = lambda k: env.sample_context(k, self.num_boxes)
+        ctxs = jax.vmap(sample)(_context_keys(self.n_contexts))
+        cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
+                           self.seed)
+        obs_dim = 4 + 3 * self.num_boxes
+
+        def run_one(ci, key):
+            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, ctx)
+            return state.success, env.decode_mode(state.mode, params.num_boxes)
+
+        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        jax.block_until_ready(succ)
+        C, T = self.n_contexts, self.n_trajectories_per_context
+        if mode_keys is None:
+            # uniform prior over the valid balanced color orders
+            mode_keys, prior = sorting_uniform_prior(self.num_boxes)
+        return {k: float(v) for k, v in metrics.sorting_score(
+            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(modes).reshape(C, T), mode_keys, prior).items()}
+
+
+@dataclass
+class StackingSim:
+    seed: int = 0
+    n_contexts: int = 30
+    n_trajectories_per_context: int = 8
+    max_steps: int = 400
+
+    def test_agent(self, agent, params=None, priors=None):
+        from d3il_tpu.envs import stacking as env
+        params = params or stacking_params(max_steps=self.max_steps)
+        roll = rollout.make_joint_rollout(
+            params, env.reset, env.step, env.get_observation,
+            env.robot_state, agent.policy_apply())
+        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
+                           self.seed)
+        obs_dim = 20
+
+        def run_one(ci, key):
+            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, ctx)
+            return (state.success, state.mode_len > 0, state.mode_len > 1,
+                    state.mode, state.mode_len)
+
+        succ, s1, s2, order, mlen = jax.jit(jax.vmap(run_one))(cidx, keys)
+        jax.block_until_ready(succ)
+        C, T = self.n_contexts, self.n_trajectories_per_context
+        if priors is None:
+            p1 = np.full(3, 1 / 3)
+            p2 = p3 = np.full(6, 1 / 6)
+        else:
+            p1, p2, p3 = priors
+        return {k: float(v) for k, v in metrics.stacking_score(
+            jnp.asarray(order).reshape(C, T, 3),
+            jnp.asarray(mlen).reshape(C, T),
+            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(s1, jnp.float32).reshape(C, T),
+            jnp.asarray(s2, jnp.float32).reshape(C, T),
+            p1, p2, p3).items()}
+
+
+def sorting_uniform_prior(num_boxes: int):
+    """All bit-packed encodings of balanced red/blue orders, uniform prior."""
+    import itertools
+    half = num_boxes // 2
+    keys = sorted({
+        sum(b << (7 - i) for i, b in enumerate(bits))
+        for bits in itertools.permutations([0] * half + [1] * half)})
+    keys = np.asarray(keys, np.int32)
+    return keys, np.full(len(keys), 1.0 / len(keys), np.float32)
+
+
+# --- cached default task params (scene assembly is host-side work) ---
+
+_PARAMS_CACHE: dict = {}
+
+
+def _cached(name, factory):
+    if name not in _PARAMS_CACHE:
+        _PARAMS_CACHE[name] = factory()
+    return _PARAMS_CACHE[name]
+
+
+def avoiding_params(**kw):
+    from d3il_tpu.envs import avoiding
+    key = ("avoiding", tuple(sorted(kw.items())))
+    return _cached(key, lambda: avoiding.AvoidingParams(**kw))
+
+
+def pushing_params(**kw):
+    from d3il_tpu.envs import pushing
+    key = ("pushing", tuple(sorted(kw.items())))
+    return _cached(key, lambda: pushing.PushingParams(**kw))
+
+
+def aligning_params(**kw):
+    from d3il_tpu.envs import aligning
+    key = ("aligning", tuple(sorted(kw.items())))
+    return _cached(key, lambda: aligning.AligningParams(**kw))
+
+
+def sorting_params(num_boxes: int, **kw):
+    from d3il_tpu.envs import sorting
+    key = ("sorting", num_boxes, tuple(sorted(kw.items())))
+    return _cached(key, lambda: sorting.SortingParams(num_boxes, **kw))
+
+
+def stacking_params(**kw):
+    from d3il_tpu.envs import stacking
+    key = ("stacking", tuple(sorted(kw.items())))
+    return _cached(key, lambda: stacking.StackingParams(**kw))
