@@ -108,13 +108,14 @@ def assemble_aligning(ep: dict):
 
 
 def assemble_stacking(ep: dict):
-    """obs = [des_j_pos(7), gripper_width(1), 3 boxes (pos2 + tan yaw)]
-    action = [d des_j_pos(7), gripper_width(1)] (stacking_dataset.py:92-139)."""
+    """obs = [des_j_pos(7), gripper_width(1), 3 boxes (pos3 + tan yaw)] = 20
+    action = [d des_j_pos(7), gripper_width(1)] (stacking_dataset.py:92-140:
+    full 3-D box positions, next-step absolute gripper width)."""
     des_j = np.asarray(ep["robot"]["des_j_pos"])
     grip = np.asarray(ep["robot"]["gripper_width"]).reshape(-1, 1)
     parts = [des_j, grip]
     for key in ("red-box", "green-box", "blue-box"):
-        parts.append(np.asarray(ep[key]["pos"])[:, :2])
+        parts.append(np.asarray(ep[key]["pos"]))
         parts.append(_yaw_tan(np.asarray(ep[key]["quat"])))
     obs = np.concatenate(parts, axis=-1)
     act = np.concatenate([des_j[1:] - des_j[:-1], grip[1:]], axis=-1)

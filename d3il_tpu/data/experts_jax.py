@@ -1,0 +1,608 @@
+"""Device-side scripted experts: whole demo episodes as one `lax.scan`.
+
+The host experts in `experts.py` are per-step Python state machines — fine
+for one env, but demo generation then pays a host<->device round trip per
+control step. These are the same state machines expressed as pure JAX
+functions over explicit integer-phase state, so a full episode is a single
+scan and a demo *batch* is one vmapped device call (thousands of env-steps
+per dispatch instead of one).
+
+The reference's demonstrations are human-teleoperated
+(gamepad_control/record_data.py); these experts replace them with scripted
+multimodal behavior matching the reference tasks' solution modes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from d3il_tpu.envs import scenes
+from d3il_tpu.ops import quat as quat_ops
+
+
+def _step_toward(cur, tgt, step):
+    return cur + jnp.clip(tgt - cur, -step, step)
+
+
+def _limit_lead(nxt, tcp, max_lead):
+    """Cap how far the setpoint leads the physical tcp."""
+    ahead = nxt - tcp
+    d = jnp.linalg.norm(ahead)
+    return jnp.where(d > max_lead, tcp + ahead / jnp.maximum(d, 1e-9) * max_lead,
+                     nxt)
+
+
+def _yaw_of(quat):
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    return jnp.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+
+
+def _wrap(a):
+    return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+
+# ---------------------------------------------------------------- avoiding
+
+class AvoidingExpertState(NamedTuple):
+    k: jax.Array  # waypoint index
+
+
+def avoiding_waypoints(mode, rng: np.random.Generator) -> np.ndarray:
+    """Host helper: the 6 corridor waypoints for a (g1,g2,g3) gate mode
+    (same geometry as experts.AvoidingExpert)."""
+    L1_X = {0: 0.42, 1: 0.58}
+    L2_X = {0: 0.35, 1: 0.5, 2: 0.65}
+    L3_X = {0: 0.27, 1: 0.425, 2: 0.575, 3: 0.73}
+    g1, g2, g3 = mode
+    j = lambda: rng.uniform(-0.012, 0.012)
+    x1, x2, x3 = L1_X[g1] + j(), L2_X[g2] + j(), L3_X[g3] + j()
+    return np.array([
+        [x1, scenes.AVOIDING_L1_Y - 0.07],
+        [x1, scenes.AVOIDING_L1_Y + 0.08],
+        [x2, scenes.AVOIDING_L2_Y - 0.07],
+        [x2, scenes.AVOIDING_L2_Y + 0.08],
+        [x3, scenes.AVOIDING_L3_Y - 0.07],
+        [x3, scenes.AVOIDING_GOAL_Y + 0.03],
+    ], np.float32)
+
+
+def avoiding_expert_step(st: AvoidingExpertState, des_xy, tcp_xy, waypoints):
+    """Port of experts.AvoidingExpert.act (lag-band regulation)."""
+    wp = waypoints[st.k]
+    adv = (jnp.linalg.norm(wp - tcp_xy) < 0.03) & (st.k < waypoints.shape[0] - 1)
+    k = st.k + adv.astype(st.k.dtype)
+    wp = waypoints[k]
+    lag = jnp.linalg.norm(des_xy - tcp_xy)
+    step = jnp.where(lag < 0.035, 0.010, jnp.where(lag < 0.08, 0.005, 0.001))
+    delta = _step_toward(des_xy, wp, step) - des_xy
+    return AvoidingExpertState(k=k), delta
+
+
+# ---------------------------------------------------------------- pushing
+
+class PushExpertState(NamedTuple):
+    stage: jax.Array   # which (box, target) pair
+    phase: jax.Array   # 0 approach, 1 push
+
+
+PUSH_APPROACH = 0.065
+PUSH_STOP = 0.032
+
+
+def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active):
+    """First active obstacle blocking the straight line -> detour point
+    (experts.PushingExpert approach branch, vectorized over obstacles)."""
+    v = approach_pt - tcp_xy
+    L = jnp.linalg.norm(v) + 1e-9
+    w = v / L
+
+    def check(carry, ob_act):
+        found, target = carry
+        ob, act = ob_act
+        tproj = jnp.clip(jnp.dot(ob - tcp_xy, v) / (L * L), 0, 1)
+        closest = tcp_xy + tproj * v
+        blocking = act & (jnp.linalg.norm(closest - ob) < 0.075) \
+            & (jnp.linalg.norm(ob - tcp_xy) < L)
+        perp = jnp.array([-w[1], w[0]])
+        side = jnp.where(jnp.dot(tcp_xy - ob, perp) >= 0, 1.0, -1.0)
+        detour = ob + perp * side * 0.11
+        use = blocking & ~found
+        return (found | blocking, jnp.where(use, detour, target)), None
+
+    (found, target_pt), _ = jax.lax.scan(
+        check, (jnp.array(False), approach_pt), (obstacles, active))
+    nxt = _step_toward(des_xy, target_pt, 0.01)
+    return _limit_lead(nxt, tcp_xy, 0.03)
+
+
+def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
+                        seq_box, seq_tgt):
+    """seq_box [2] int, seq_tgt [2,2]: per-mode (box, target) order."""
+    stage = jnp.minimum(st.stage, 1)
+    b = seq_box[stage]
+    tgt = seq_tgt[stage]
+    bpos = boxes_xy[b]
+    to_tgt = tgt - bpos
+    d_tgt = jnp.linalg.norm(to_tgt)
+    u = to_tgt / (d_tgt + 1e-9)
+
+    stage_done = d_tgt < PUSH_STOP
+    approach_pt = bpos - u * PUSH_APPROACH
+    near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
+    phase = jnp.where(stage_done, 0, jnp.where(near, 1, st.phase))
+
+    others = jnp.ones(boxes_xy.shape[0], bool).at[b].set(False)
+    nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others)
+    push_pt = bpos - u * 0.02
+    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, 0.006), tcp_xy, 0.04)
+
+    nxt = jnp.where(phase == 1, nxt_push, nxt_app)
+    new_stage = st.stage + stage_done.astype(st.stage.dtype)
+    delta = jnp.where(stage_done | (st.stage >= 2), jnp.zeros(2),
+                      nxt - des_xy)
+    return PushExpertState(stage=jnp.minimum(new_stage, 2),
+                           phase=jnp.where(stage_done, 0, phase)), delta
+
+
+# ---------------------------------------------------------------- sorting
+
+class SortingExpertState(NamedTuple):
+    stage: jax.Array   # which box in `order`
+    phase: jax.Array   # 0 approach_x, 1 push_x, 2 approach_y, 3 push_y
+    prev_b: jax.Array  # box worked last step (phase resets when it changes)
+
+
+SORT_DONE_Y = 0.215
+SORT_RED_X = 0.4
+SORT_BLUE_X = 0.625
+
+
+def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
+                        order, half):
+    """Two-leg push per box: align x to the zone center, then eject toward
+    (x_zone, 0.30) over the +y platform edge with continuous aim correction
+    (an uncorrected straight +y push drifts laterally several cm).
+    `order` [n] int permutation; boxes 0..half-1 red; boxes_pos [n,3]."""
+    n = order.shape[0]
+    boxes_xy = boxes_pos[:, :2]
+    stage = jnp.minimum(st.stage, n - 1)
+    b = order[stage]
+    bp3 = boxes_pos[b]
+
+    # box finished: pushed well past the edge, or already dropped off it
+    # (z below the platform top; a box hanging ON the edge sits too low for
+    # the rod to reach, so a drop also ends the stage)
+    dropped = (bp3[2] < 0.06) & (bp3[1] > 0.15)
+    box_done = (bp3[1] > SORT_DONE_Y) | dropped
+    stage2 = jnp.minimum(st.stage + box_done.astype(st.stage.dtype), n)
+    finished = stage2 >= n
+    stage_c = jnp.minimum(stage2, n - 1)
+    b = order[stage_c]
+    bpos = boxes_xy[b]
+
+    # if another live box sits in the push corridor ahead, eject it first —
+    # pushing through it would plough it off at the wrong x
+    active = (boxes_pos[:, 2] > 0.06) & (boxes_xy[:, 1] < SORT_DONE_Y)
+    x_tgt_b = jnp.where(b < half, SORT_RED_X, SORT_BLUE_X)
+    aim_b = jnp.array([1.0, 0.0]) * x_tgt_b + jnp.array([0.0, 1.0]) * 0.30
+    u_b = (aim_b - bpos) / (jnp.linalg.norm(aim_b - bpos) + 1e-9)
+    rel = boxes_xy - bpos
+    proj = rel @ u_b
+    perp = jnp.linalg.norm(rel - proj[:, None] * u_b[None], axis=-1)
+    blocking = active.at[b].set(False) & (proj > 0.01) & (proj < 0.45) \
+        & (perp < 0.085)
+    b = jnp.where(blocking.any(), jnp.argmax(blocking).astype(b.dtype), b)
+    bpos = boxes_xy[b]
+    phase = jnp.where(box_done | (b != st.prev_b), 0, st.phase)
+
+    x_tgt = jnp.where(b < half, SORT_RED_X, SORT_BLUE_X)
+    dx = x_tgt - bpos[0]
+    x_ok = jnp.abs(dx) < 0.015
+    ux = jnp.array([1.0, 0.0]) * jnp.sign(dx)
+    aim = jnp.array([1.0, 0.0]) * x_tgt + jnp.array([0.0, 1.0]) * 0.30
+    to_aim = aim - bpos
+    uy = to_aim / (jnp.linalg.norm(to_aim) + 1e-9)
+    phase = jnp.where((phase == 0) & x_ok, 2, phase)
+    phase = jnp.where((phase == 1) & x_ok, 2, phase)
+    u = jnp.where(phase >= 2, uy, ux)
+
+    approach_pt = bpos - u * PUSH_APPROACH
+    near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
+    in_approach = (phase == 0) | (phase == 2)
+    phase = jnp.where(in_approach & near, phase + 1, phase)
+
+    nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy,
+                            boxes_pos[:, 2] > 0.06)
+    # speed through the edge so momentum carries the box clear of the lip
+    near_edge = (phase == 3) & (bpos[1] > 0.12)
+    pstep = jnp.where(near_edge, 0.010, 0.006)
+    lead = jnp.where(near_edge, 0.05, 0.04)
+    push_pt = bpos - u * 0.02
+    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
+    in_push = (phase == 1) | (phase == 3)
+    nxt = jnp.where(in_push, nxt_push, nxt_app)
+    delta = jnp.where(finished | box_done, jnp.zeros(2), nxt - des_xy)
+    return SortingExpertState(stage=stage2, phase=phase, prev_b=b), delta
+
+
+# ---------------------------------------------------------------- aligning
+
+class AligningExpertState(NamedTuple):
+    phase: jax.Array   # 0 travel, 1 descend, 2 work
+
+
+ALIGN_R_IN = 0.040
+ALIGN_R_OUT = 0.062
+ALIGN_Z_HIGH = 0.25
+ALIGN_Z_LOW = 0.12
+
+
+def aligning_expert_step(st: AligningExpertState, des_pos, tcp_pos,
+                         tray_pos, tray_quat, tgt_pos, tgt_quat, mode):
+    """mode 0: work from inside the tray; 1: from outside
+    (experts.AligningExpert, vectorized)."""
+    c = tray_pos[:2]
+    yaw = _yaw_of(tray_quat)
+    dyaw = _wrap(_yaw_of(tgt_quat) - yaw)
+    # fold the pi symmetry the quaternion metric can't see (aligning.py:22-36)
+    dyaw = jnp.where(dyaw > jnp.pi / 2, dyaw - jnp.pi,
+                     jnp.where(dyaw < -jnp.pi / 2, dyaw + jnp.pi, dyaw))
+    dp = tgt_pos[:2] - c
+    pos_ok = jnp.linalg.norm(dp) < 0.012
+    rot_ok = jnp.abs(dyaw) < 0.10
+    rad = jnp.where(mode == 0, ALIGN_R_IN, ALIGN_R_OUT)
+
+    entry = jnp.where(mode == 0, c, c + jnp.array([0.0, -0.09]))
+    at_entry = jnp.linalg.norm(des_pos[:2] - entry) <= 0.008
+    low = des_pos[2] <= ALIGN_Z_LOW + 0.004
+    phase = jnp.where(st.phase == 0, jnp.where(at_entry, 1, 0), st.phase)
+    phase = jnp.where((phase == 1) & low, 2, phase)
+
+    hover = jnp.concatenate([entry, jnp.array([ALIGN_Z_HIGH])])
+    dive = jnp.concatenate([entry, jnp.array([ALIGN_Z_LOW])])
+    d_travel = _step_toward(des_pos, hover, 0.01) - des_pos
+    d_descend = _step_toward(des_pos, dive, 0.008) - des_pos
+
+    # translate: press the wall facing (inside) / trailing (outside) u
+    u = dp / (jnp.linalg.norm(dp) + 1e-9)
+    contact = jnp.where(mode == 0, c + u * rad, c - u * rad)
+    goal2 = contact + u * 0.012
+    nxt_t = _limit_lead(_step_toward(des_pos[:2], goal2, 0.006), tcp_pos[:2],
+                        0.035)
+
+    # rotate: sweep a corner along an arc about the tray center
+    sgn = jnp.sign(dyaw)
+    corner_local = jnp.array([1.0, 1.0]) * rad
+    corner_local = corner_local * jnp.array([1.0, 1.0]).at[1].set(sgn)
+    ca, sa = jnp.cos(yaw), jnp.sin(yaw)
+    Rm = jnp.array([[ca, -sa], [sa, ca]])
+    corner = c + Rm @ corner_local
+    lead = jnp.minimum(0.25, jnp.abs(dyaw)) * sgn
+    cl, sl = jnp.cos(lead), jnp.sin(lead)
+    Rl = jnp.array([[cl, -sl], [sl, cl]])
+    swept = c + Rl @ (Rm @ (corner_local * 1.05))
+    far = jnp.linalg.norm(tcp_pos[:2] - corner) > 0.025
+    nxt_r = jnp.where(far, _step_toward(des_pos[:2], corner, 0.006),
+                      _step_toward(des_pos[:2], swept, 0.004))
+    nxt_r = _limit_lead(nxt_r, tcp_pos[:2], 0.035)
+
+    nxt2 = jnp.where(pos_ok, nxt_r, nxt_t)
+    d_work = jnp.concatenate([nxt2 - des_pos[:2], jnp.zeros(1)])
+    d_work = jnp.where(pos_ok & rot_ok, jnp.zeros(3), d_work)
+
+    delta = jnp.where(phase == 0, d_travel,
+                      jnp.where(phase == 1, d_descend, d_work))
+    return AligningExpertState(phase=phase), delta
+
+
+# ---------------------------------------------------------------- stacking
+
+class StackingExpertState(NamedTuple):
+    stage: jax.Array   # which box in the order (0..2; 3 = finished)
+    phase: jax.Array   # 0 hover,1 descend,2 close,3 lift,4 carry,5 place,
+    #                    6 open,7 retreat
+    hold: jax.Array    # dwell counter for close/open
+    q_des: jax.Array   # [7] joint setpoint the expert maintains
+
+
+STACK_Z_HOVER = 0.22
+STACK_Z_GRASP = 0.022
+STACK_HOLD_CLOSE = 15
+STACK_HOLD_OPEN = 10
+
+
+def _ik_toward(ctrl_chain, q, tgt_pos, tgt_quat, iters: int = 10,
+               lr: float = 0.002, rate: float = 0.05):
+    """Rate-limited DLS IK tracking: move q a bounded step toward the target
+    EE pose (expert-side analogue of the impedance controller's virtual
+    trajectory, with a faster learning rate for waypoint seeking)."""
+    from d3il_tpu.robot import chain as chain_mod
+    from d3il_tpu.robot.panda import JOINT_POS_MIN, JOINT_POS_MAX
+    ee = ctrl_chain.body_index("panda_grasptarget")
+    lo = jnp.asarray(JOINT_POS_MIN, q.dtype)
+    hi = jnp.asarray(JOINT_POS_MAX, q.dtype)
+    q0 = q
+
+    def it(q, _):
+        xpos, xquat = chain_mod.fk(ctrl_chain, q)
+        cur_q = xquat[ee]
+        flip = jnp.where(
+            jnp.sum((cur_q - tgt_quat) ** 2) > jnp.sum((cur_q + tgt_quat) ** 2),
+            -1.0, 1.0)
+        dqt = tgt_quat * flip
+        pos_err = jnp.clip(tgt_pos - xpos[ee], -0.02, 0.02)
+        quat_err = jnp.clip(quat_ops.quat_error(cur_q, dqt), -0.1, 0.1)
+        err = jnp.concatenate([pos_err * 200.0, quat_err * 30.0])
+        J = chain_mod.point_jacobian(ctrl_chain, q, ee,
+                                     fk_cache=(xpos, xquat))[:, :7]
+        A = J @ J.T + 1e-6 * jnp.eye(6, dtype=q.dtype)
+        qd = J.T @ jnp.linalg.solve(A, err)
+        nrm = jnp.linalg.norm(qd)
+        qd = jnp.where(nrm > 3.0, qd * 3.0 / jnp.maximum(nrm, 1e-9), qd)
+        return jnp.clip(q + lr * qd, lo, hi), None
+
+    q, _ = jax.lax.scan(it, q, None, length=iters)
+    dq = q - q0
+    n = jnp.linalg.norm(dq)
+    return q0 + jnp.where(n > rate, dq * rate / jnp.maximum(n, 1e-9), dq)
+
+
+def stacking_expert_step(ctrl_chain, st: StackingExpertState, box_pos,
+                         box_quat, target_xy, order):
+    """One control step of the pick-and-place expert. Returns
+    (state, action8 = [q_des, width_cmd])."""
+    from d3il_tpu.robot import chain as chain_mod
+    ee = ctrl_chain.body_index("panda_grasptarget")
+    stage = jnp.minimum(st.stage, 2)
+    b = order[stage]
+    bp = box_pos[b]
+    yaw = _yaw_of(box_quat[b])
+    # fold grasp-yaw symmetry: square boxes (r,g) pi/2; blue (rectangular) pi
+    yaw_sq = _wrap(yaw + jnp.pi / 4) % (jnp.pi / 2) - jnp.pi / 4
+    yaw_bl = jnp.where(yaw > jnp.pi / 2, yaw - jnp.pi,
+                       jnp.where(yaw < -jnp.pi / 2, yaw + jnp.pi, yaw))
+    gyaw = jnp.where(b == 2, yaw_bl, yaw_sq)
+    h = gyaw / 2.0
+    tgt_quat = jnp.array([0.0, 0.0, 0.0, 0.0]).at[1].set(jnp.cos(h)).at[2].set(
+        jnp.sin(h))
+
+    z_stack = 0.02 + 0.062 * stage.astype(bp.dtype)
+    wp_tab = jnp.stack([
+        jnp.array([bp[0], bp[1], STACK_Z_HOVER]),        # 0 hover
+        jnp.array([bp[0], bp[1], STACK_Z_GRASP]),        # 1 descend
+        jnp.array([bp[0], bp[1], STACK_Z_GRASP]),        # 2 close (dwell)
+        jnp.array([bp[0], bp[1], STACK_Z_HOVER]),        # 3 lift
+        jnp.array([target_xy[0], target_xy[1], STACK_Z_HOVER]),  # 4 carry
+        jnp.array([target_xy[0], target_xy[1], z_stack]),        # 5 place
+        jnp.array([target_xy[0], target_xy[1], z_stack]),        # 6 open
+        jnp.array([target_xy[0], target_xy[1], STACK_Z_HOVER]),  # 7 retreat
+    ])
+    tol_tab = jnp.array([0.02, 0.006, 1.0, 0.02, 0.015, 0.006, 1.0, 0.02])
+    wp = wp_tab[st.phase]
+    tol = tol_tab[st.phase]
+
+    dwell = (st.phase == 2) | (st.phase == 6)
+    q_new = _ik_toward(ctrl_chain, st.q_des, wp, tgt_quat)
+    q_des = jnp.where(dwell | (st.stage >= 3), st.q_des, q_new)
+
+    xpos, _ = chain_mod.fk(ctrl_chain, q_des)
+    reached = jnp.linalg.norm(xpos[ee] - wp) < tol
+
+    hold_lim = jnp.where(st.phase == 2, STACK_HOLD_CLOSE, STACK_HOLD_OPEN)
+    hold = jnp.where(dwell, st.hold + 1, 0)
+    advance = jnp.where(dwell, hold >= hold_lim, reached)
+    advance = advance & (st.stage < 3)
+    phase = jnp.where(advance, st.phase + 1, st.phase)
+    wrap = phase > 7
+    stage2 = st.stage + wrap.astype(st.stage.dtype)
+    phase = jnp.where(wrap, 0, phase)
+
+    # gripper: open through descend; closed from close..place; open after
+    width = jnp.where((phase >= 2) & (phase <= 5), 0.0, 0.08)
+    action = jnp.concatenate([q_des, jnp.array([0.0]).at[0].set(width)])
+    return StackingExpertState(stage=stage2, phase=phase, hold=hold,
+                               q_des=q_des), action
+
+
+# ------------------------------------------------------------ batched runs
+#
+# Each runner is split into (init, chunk): `init` builds the episode carry,
+# `chunk` advances CHUNK env steps under one jit. The host loops over chunks
+# (long single device executions trip RPC limits on tunneled TPUs, and
+# chunking also lets generation stop early once every lane is done).
+
+CHUNK = 50
+
+
+class EpCarry(NamedTuple):
+    env: object
+    es: object
+    des: jax.Array
+    done: jax.Array
+
+
+def _freeze_env(done, new, old):
+    return jax.tree_util.tree_map(lambda n, o: jnp.where(done, o, n), new, old)
+
+
+def _chunk_fn(step_once, length):
+    def chunk(carry):
+        def body(c, _):
+            c2, log, done = step_once(c)
+            return c2, (log, done)
+        carry, (logs, dones) = jax.lax.scan(body, carry, None, length=length)
+        return carry, logs, dones
+    return chunk
+
+
+def make_avoiding_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import avoiding as env
+
+    def init():
+        state = env.reset(params)
+        tcp0, _ = params.tcp_pose(state.scene)
+        es0 = AvoidingExpertState(k=jnp.array(0, jnp.int32))
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+
+    def step_once(cw):
+        carry, (waypoints, fixed_z) = cw
+        state, es, des, done = carry
+        tcp, _ = params.tcp_pose(state.scene)
+        es2, delta = avoiding_expert_step(es, des, tcp[:2], waypoints)
+        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        log = (jnp.concatenate([des2, fixed_z]), tcp)
+        action = jnp.concatenate([des2, fixed_z,
+                                  jnp.array([0.0, 1.0, 0.0, 0.0])])
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des2, done | res.done),
+                (waypoints, fixed_z)), log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def make_pushing_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import pushing as env
+
+    def init(ctx):
+        state = env.reset(params, ctx)
+        tcp0, _ = params.tcp_pose(state.scene)
+        es0 = PushExpertState(stage=jnp.array(0, jnp.int32),
+                              phase=jnp.array(0, jnp.int32))
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+
+    def step_once(cw):
+        carry, (seq_box, seq_tgt, fixed_z) = cw
+        state, es, des, done = carry
+        tcp, _ = params.tcp_pose(state.scene)
+        boxes = state.scene.free_pos[:, :2]
+        es2, delta = pushing_expert_step(es, des, tcp[:2], boxes, seq_box,
+                                         seq_tgt)
+        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        log = (jnp.concatenate([des2, fixed_z]), tcp,
+               state.scene.free_pos, state.scene.free_quat)
+        action = jnp.concatenate([des2, fixed_z,
+                                  jnp.array([0.0, 1.0, 0.0, 0.0])])
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des2, done | res.done),
+                (seq_box, seq_tgt, fixed_z)), log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def make_sorting_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import sorting as env
+    half = params.num_boxes // 2
+
+    def init(ctx):
+        state = env.reset(params, ctx)
+        tcp0, _ = params.tcp_pose(state.scene)
+        es0 = SortingExpertState(stage=jnp.array(0, jnp.int32),
+                                 phase=jnp.array(0, jnp.int32),
+                                 prev_b=jnp.array(-1, jnp.int32))
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+
+    def step_once(cw):
+        carry, (order, fixed_z) = cw
+        state, es, des, done = carry
+        tcp, _ = params.tcp_pose(state.scene)
+        es2, delta = sorting_expert_step(es, des, tcp[:2],
+                                         state.scene.free_pos, order, half)
+        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        log = (jnp.concatenate([des2, fixed_z]), tcp,
+               state.scene.free_pos, state.scene.free_quat)
+        action = jnp.concatenate([des2, fixed_z,
+                                  jnp.array([0.0, 1.0, 0.0, 0.0])])
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des2, done | res.done),
+                (order, fixed_z)), log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def make_aligning_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import aligning as env
+
+    def init(ctx):
+        state = env.reset(params, ctx)
+        tcp0, _ = params.tcp_pose(state.scene)
+        es0 = AligningExpertState(phase=jnp.array(0, jnp.int32))
+        return EpCarry(state, es0, tcp0, jnp.array(False))
+
+    def step_once(cw):
+        carry, mode = cw
+        state, es, des, done = carry
+        tcp, _ = params.tcp_pose(state.scene)
+        es2, delta = aligning_expert_step(
+            es, des, tcp, state.scene.free_pos[0], state.scene.free_quat[0],
+            state.target_pos, state.target_quat, mode)
+        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        log = (des2, tcp, state.scene.free_pos[0], state.scene.free_quat[0])
+        action = jnp.concatenate([des2, jnp.array([0.0, 1.0, 0.0, 0.0])])
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des2, done | res.done), mode), \
+            log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def make_stacking_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import stacking as env
+    chain = params.ctrl_chain
+
+    def init(ctx):
+        state = env.reset(params, ctx)
+        es0 = StackingExpertState(
+            stage=jnp.array(0, jnp.int32), phase=jnp.array(0, jnp.int32),
+            hold=jnp.array(0, jnp.int32), q_des=state.scene.q[:7])
+        return EpCarry(state, es0, jnp.zeros(0), jnp.array(False))
+
+    def step_once(cw):
+        carry, order = cw
+        state, es, des, done = carry
+        es2, action = stacking_expert_step(
+            chain, es, state.scene.free_pos, state.scene.free_quat,
+            state.target_xy, order)
+        width_meas = state.scene.q[7] + state.scene.q[8]
+        log = (es2.q_des, width_meas, state.scene.free_pos,
+               state.scene.free_quat)
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des, done | res.done), order), \
+            log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def run_chunked(chunk_v, cw, max_steps: int, chunk_len: int = CHUNK):
+    """Host driver: advance a prepared batched carry chunk-by-chunk until
+    every lane is done (or max_steps), concatenating logs on host.
+
+    cw: the vmapped (EpCarry, extras) tuple chunk_v consumes.
+    Returns (final_cw, logs [B,T,...] numpy, dones [B,T] numpy)."""
+    logs_parts, dones_parts = [], []
+    steps = 0
+    while steps < max_steps:
+        cw, logs, dones = chunk_v(cw)
+        logs_parts.append(jax.tree_util.tree_map(np.asarray, logs))
+        d = np.asarray(dones)
+        dones_parts.append(d)
+        steps += chunk_len
+        if d.any(axis=1).all():
+            break
+    logs = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=1), *logs_parts)
+    dones = np.concatenate(dones_parts, axis=1)
+    return cw, logs, dones

@@ -137,6 +137,8 @@ def reset(params: StackingParams, context) -> StackingState:
     free_pos = jnp.concatenate([xy[:3].astype(dtype),
                                 jnp.zeros((3, 1), dtype)], axis=1)
     sc = common.init_scene_state(params, dtype, free_pos, quat[:3].astype(dtype))
+    # fingers start open (reference env start: open_fingers before episodes)
+    sc = sc._replace(q=sc.q.at[7:9].set(0.04))
     (sc, *_), _ = jax.lax.scan(
         functools.partial(_joint_substep, params),
         (sc, sc.q[:7], jnp.asarray(0.04, dtype), jnp.array(False)), None, length=5)

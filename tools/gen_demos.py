@@ -1,142 +1,268 @@
 """Generate synthetic demonstration datasets with scripted experts.
 
 Writes per-episode pickles in the reference logger schema
-(environments/dataset/*_dataset.py expectations) plus train/eval split and
-test-context files, under data/<task>/.
+(environments/dataset/*_dataset.py expectations) plus train/eval split files
+under data/<task>/.
+
+All experts run ON DEVICE (d3il_tpu/data/experts_jax.py): a demo batch is a
+vmapped lax.scan advanced in bounded chunks, so generation runs at full
+accelerator throughput instead of one host round trip per control step.
 
 Usage:
   python tools/gen_demos.py --task avoiding --n 60 --out data
-  python tools/gen_demos.py --task pushing --n 120 --out data
+  python tools/gen_demos.py --task sorting_2 --n 48 --out data
+  python tools/gen_demos.py --task stacking --n 24 --out data
 """
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import pickle
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# host-side generation runs on CPU; disable the ambient TPU plugin
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-if os.environ.get("JAX_PLATFORMS") != "cpu":
-    os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+def _np(x):
+    import jax
+    return np.asarray(jax.device_get(x))
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/d3il_tpu_jax_cache")
 
-from d3il_tpu.data import experts  # noqa: E402
-from d3il_tpu.envs import avoiding, pushing, scenes  # noqa: E402
+def _write_episode(out_dir, ep_i, log_dict, mode):
+    fname = f"env_{ep_i:03d}.pkl"
+    episode = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
+               for k, v in log_dict.items()}
+    episode["mode"] = mode
+    with open(os.path.join(out_dir, fname), "wb") as f:
+        pickle.dump(episode, f)
+    return fname
+
+
+def _ep_len(dones_row):
+    idx = np.argmax(dones_row)
+    return int(idx) + 1 if dones_row.any() else len(dones_row)
 
 
 def gen_avoiding(n_episodes, out_dir, seed=0):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import avoiding
+
     params = avoiding.AvoidingParams(kinematic=True)
-    reset_j = jax.jit(lambda: avoiding.reset(params))
-    step_j = jax.jit(lambda s, a: avoiding.step(params, s, a))
     rng = np.random.default_rng(seed)
+    wps = np.stack([ex.avoiding_waypoints(
+        ((i % 2), (i // 2) % 3, (i // 6) % 4), rng)
+        for i in range(n_episodes)]).astype(np.float32)
+    init, chunk = ex.make_avoiding_runner(params)
+    init_v = jax.jit(jax.vmap(lambda _: init(), axis_size=n_episodes,
+                              in_axes=0, out_axes=0))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    carry0, fixed_z = init_v(np.zeros(n_episodes, np.float32))
+    cw = (carry0, (wps, fixed_z))
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des, tcp = logs
+    succ, enc = _np(state.success), _np(state.mode_encoding)
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f}")
     files = []
-    for ep_i in range(n_episodes):
-        mode = (ep_i % 2, (ep_i // 2) % 3, (ep_i // 6) % 4)
-        expert = experts.AvoidingExpert(rng, mode)
-        state = reset_j()
-        tcp = np.asarray(params.tcp_pose(state.scene)[0])
-        des_xy = tcp[:2].copy()
-        log = {"robot": {"des_c_pos": [], "c_pos": []}}
-        success = False
-        for t in range(params.max_steps):
-            tcp = np.asarray(params.tcp_pose(state.scene)[0])
-            delta = expert.act(des_xy, tcp[:2])
-            des_xy = des_xy + delta
-            log["robot"]["des_c_pos"].append([des_xy[0], des_xy[1], 0.12])
-            log["robot"]["c_pos"].append(tcp.tolist())
-            a = jnp.asarray(np.concatenate([des_xy, [0.12, 0, 1, 0, 0]]), jnp.float32)
-            state, res = step_j(state, a)
-            if bool(res.done):
-                success = bool(state.success)
-                break
-        if not success:
-            print(f"  episode {ep_i} mode {mode} FAILED, skipping")
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} FAILED, skipping")
             continue
-        fname = f"env_{ep_i:03d}.pkl"
-        episode = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
-                   for k, v in log.items()}
-        episode["mode"] = np.asarray(expert.mode)
-        with open(os.path.join(out_dir, fname), "wb") as f:
-            pickle.dump(episode, f)
-        files.append(fname)
+        L = _ep_len(dones[i])
+        log = {"robot": {"des_c_pos": des[i, :L], "c_pos": tcp[i, :L]}}
+        files.append(_write_episode(out_dir, i, log,
+                                    np.asarray(enc[i], np.int32)))
     return files
 
 
 def gen_pushing(n_episodes, out_dir, seed=0):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import pushing, scenes
+
     params = pushing.PushingParams(kinematic=True)
-    reset_j = jax.jit(lambda c: pushing.reset(params, c))
-    step_j = jax.jit(lambda s, a: pushing.step(params, s, a))
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    files, contexts = [], []
-    for ep_i in range(n_episodes):
-        key, sub = jax.random.split(key)
-        ctx = pushing.sample_context(sub)
-        expert = experts.PushingExpert(rng, mode=ep_i % 4)
-        state = reset_j(ctx)
-        tcp = np.asarray(params.tcp_pose(state.scene)[0])
-        des_xy = tcp[:2].copy()
-        log = {
-            "robot": {"des_c_pos": [], "c_pos": []},
-            "red-box": {"pos": [], "quat": []},
-            "green-box": {"pos": [], "quat": []},
-            "red-target": {"pos": [], "quat": []},
-            "green-target": {"pos": [], "quat": []},
-        }
-        success = False
-        for t in range(params.max_steps):
-            boxes = np.asarray(state.scene.free_pos)[:, :2]
-            tcp = np.asarray(params.tcp_pose(state.scene)[0])
-            delta = expert.act(des_xy, tcp[:2], boxes)
-            des_xy = des_xy + np.clip(delta, -0.01, 0.01)
-            log["robot"]["des_c_pos"].append([des_xy[0], des_xy[1], 0.12])
-            log["robot"]["c_pos"].append(tcp.tolist())
-            log["red-box"]["pos"].append(np.asarray(state.scene.free_pos[0]).tolist())
-            log["red-box"]["quat"].append(np.asarray(state.scene.free_quat[0]).tolist())
-            log["green-box"]["pos"].append(np.asarray(state.scene.free_pos[1]).tolist())
-            log["green-box"]["quat"].append(np.asarray(state.scene.free_quat[1]).tolist())
-            log["red-target"]["pos"].append(scenes.PUSHING_TARGET_1.tolist())
-            log["red-target"]["quat"].append([0, 1, 0, 0])
-            log["green-target"]["pos"].append(scenes.PUSHING_TARGET_2.tolist())
-            log["green-target"]["quat"].append([0, 1, 0, 0])
-            a = jnp.asarray(np.concatenate([des_xy, [0.12, 0, 1, 0, 0]]), jnp.float32)
-            state, res = step_j(state, a)
-            if bool(res.done):
-                success = bool(state.success)
-                break
-        if not success:
-            print(f"  episode {ep_i} mode {expert.mode} FAILED "
-                  f"(stage {expert.stage}), skipping")
+    t1 = scenes.PUSHING_TARGET_1[:2]
+    t2 = scenes.PUSHING_TARGET_2[:2]
+    seq_box_tab = np.array([[0, 1], [1, 0], [0, 1], [1, 0]], np.int32)
+    seq_tgt_tab = np.array([[t1, t2], [t2, t1], [t2, t1], [t1, t2]],
+                           np.float32)
+    modes = np.arange(n_episodes) % 4
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
+    ctxs = jax.vmap(pushing.sample_context)(keys)
+    init, chunk = ex.make_pushing_runner(params)
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    carry0, fixed_z = init_v(ctxs)
+    cw = (carry0, (seq_box_tab[modes], seq_tgt_tab[modes], fixed_z))
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des, tcp, fpos, fquat = logs
+    succ = _np(state.success)
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f}")
+    files = []
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} mode {modes[i]} FAILED, skipping")
             continue
-        fname = f"env_{ep_i:03d}.pkl"
-        episode = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
-                   for k, v in log.items()}
-        episode["mode"] = np.asarray(expert.mode)
-        with open(os.path.join(out_dir, fname), "wb") as f:
-            pickle.dump(episode, f)
-        files.append(fname)
-        contexts.append(jax.tree_util.tree_map(np.asarray, ctx))
-    return files, contexts
+        L = _ep_len(dones[i])
+        tgt_quat = np.tile([0, 1, 0, 0], (L, 1)).astype(np.float32)
+        log = {
+            "robot": {"des_c_pos": des[i, :L], "c_pos": tcp[i, :L]},
+            "red-box": {"pos": fpos[i, :L, 0], "quat": fquat[i, :L, 0]},
+            "green-box": {"pos": fpos[i, :L, 1], "quat": fquat[i, :L, 1]},
+            "red-target": {"pos": np.tile(scenes.PUSHING_TARGET_1, (L, 1)),
+                           "quat": tgt_quat},
+            "green-target": {"pos": np.tile(scenes.PUSHING_TARGET_2, (L, 1)),
+                             "quat": tgt_quat},
+        }
+        files.append(_write_episode(out_dir, i, log, int(modes[i])))
+    return files
+
+
+def gen_sorting(n_episodes, out_dir, seed=0, num_boxes=2):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import sorting
+
+    params = sorting.SortingParams(num_boxes, kinematic=True)
+    rng = np.random.default_rng(seed)
+    orders = np.stack([rng.permutation(num_boxes)
+                       for _ in range(n_episodes)]).astype(np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
+    ctxs = jax.vmap(lambda k: sorting.sample_context(k, num_boxes))(keys)
+    init, chunk = ex.make_sorting_runner(params)
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    carry0, fixed_z = init_v(ctxs)
+    cw = (carry0, (orders, fixed_z))
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des, tcp, fpos, fquat = logs
+    succ = _np(state.success)
+    mode_codes = _np(jax.vmap(
+        lambda m: sorting.decode_mode(m, num_boxes))(state.mode))
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f}")
+    half = num_boxes // 2
+    names = [f"red-box{i+1}" for i in range(half)] + \
+            [f"blue-box{i+1}" for i in range(half)]
+    files = []
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} order {orders[i].tolist()} FAILED, skipping")
+            continue
+        L = _ep_len(dones[i])
+        log = {"robot": {"des_c_pos": des[i, :L], "c_pos": tcp[i, :L]}}
+        for bi, nm in enumerate(names):
+            log[nm] = {"pos": fpos[i, :L, bi], "quat": fquat[i, :L, bi]}
+        files.append(_write_episode(out_dir, i, log, int(mode_codes[i])))
+    return files
+
+
+def gen_aligning(n_episodes, out_dir, seed=0):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import aligning
+
+    params = aligning.AligningParams(kinematic=True)
+    modes = (np.arange(n_episodes) % 2).astype(np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
+    ctxs = jax.vmap(aligning.sample_context)(keys)
+    init, chunk = ex.make_aligning_runner(params)
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    cw = (init_v(ctxs), modes)
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des, tcp, fpos, fquat = logs
+    succ = _np(state.success)
+    tgt_p, tgt_q = _np(state.target_pos), _np(state.target_quat)
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f}")
+    files = []
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} mode {modes[i]} FAILED, skipping")
+            continue
+        L = _ep_len(dones[i])
+        log = {
+            "robot": {"des_c_pos": des[i, :L], "c_pos": tcp[i, :L]},
+            "push-box": {"pos": fpos[i, :L], "quat": fquat[i, :L]},
+            "target-box": {"pos": np.tile(tgt_p[i], (L, 1)),
+                           "quat": np.tile(tgt_q[i], (L, 1))},
+        }
+        files.append(_write_episode(out_dir, i, log, int(modes[i])))
+    return files
+
+
+def gen_stacking(n_episodes, out_dir, seed=0):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import stacking
+
+    params = stacking.StackingParams(kinematic=False)
+    perms = np.array(list(itertools.permutations(range(3))), np.int32)
+    orders = perms[np.arange(n_episodes) % 6]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
+    ctxs = jax.vmap(stacking.sample_context)(keys)
+    init, chunk = ex.make_stacking_runner(params)
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    cw = (init_v(ctxs), orders)
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des_q, width, fpos, fquat = logs
+    succ = _np(state.success)
+    mode = _np(state.mode)
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f} "
+          f"(1-box {float(_np(state.mode_len) > 0).__class__ and (_np(state.mode_len) > 0).mean():.2f})")
+    names = ("red-box", "green-box", "blue-box")
+    files = []
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} order {orders[i].tolist()} FAILED, skipping")
+            continue
+        L = _ep_len(dones[i])
+        log = {"robot": {"des_j_pos": des_q[i, :L],
+                         "gripper_width": width[i, :L]}}
+        for bi, nm in enumerate(names):
+            log[nm] = {"pos": fpos[i, :L, bi], "quat": fquat[i, :L, bi]}
+        files.append(_write_episode(out_dir, i, log,
+                                    [int(x) for x in mode[i]]))
+    return files
+
+
+TASKS = ["avoiding", "pushing", "aligning", "sorting_2", "sorting_4",
+         "sorting_6", "stacking"]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", required=True, choices=["avoiding", "pushing"])
+    ap.add_argument("--task", required=True, choices=TASKS)
     ap.add_argument("--n", type=int, default=60)
     ap.add_argument("--out", default="data")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", type=int, default=0, help="1: force CPU backend")
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/d3il_tpu_jax_cache")
 
     task_dir = os.path.join(args.out, args.task)
     all_dir = os.path.join(task_dir, "all_data")
@@ -144,12 +270,21 @@ def main():
 
     if args.task == "avoiding":
         files = gen_avoiding(args.n, all_dir, args.seed)
-        contexts = None
-    else:
-        files, contexts = gen_pushing(args.n, all_dir, args.seed)
+    elif args.task == "pushing":
+        files = gen_pushing(args.n, all_dir, args.seed)
+    elif args.task == "aligning":
+        files = gen_aligning(args.n, all_dir, args.seed)
+    elif args.task.startswith("sorting"):
+        files = gen_sorting(args.n, all_dir, args.seed,
+                            num_boxes=int(args.task.split("_")[1]))
+    elif args.task == "stacking":
+        files = gen_stacking(args.n, all_dir, args.seed)
 
     rng = np.random.default_rng(args.seed + 1)
     files = list(files)
+    if not files:
+        print("no successful episodes; nothing written")
+        return
     perm = rng.permutation(len(files))
     n_eval = max(1, len(files) // 10)
     eval_files = [files[i] for i in perm[:n_eval]]
@@ -158,16 +293,6 @@ def main():
         pickle.dump(train_files, f)
     with open(os.path.join(task_dir, "eval_files.pkl"), "wb") as f:
         pickle.dump(eval_files, f)
-    if contexts is not None:
-        # fixed test contexts, seed 2 (reference get_contexts.py:14-25)
-        key = jax.random.PRNGKey(2)
-        test_ctx = []
-        for _ in range(60):
-            key, sub = jax.random.split(key)
-            from d3il_tpu.envs.pushing import sample_context
-            test_ctx.append(jax.tree_util.tree_map(np.asarray, sample_context(sub)))
-        with open(os.path.join(task_dir, "test_contexts.pkl"), "wb") as f:
-            pickle.dump(test_ctx, f)
     print(f"wrote {len(train_files)} train + {len(eval_files)} eval episodes "
           f"to {task_dir}")
 
