@@ -140,6 +140,18 @@ def stacking_score(order, mode_len, successes, successes_1, successes_2,
             "entropy_3": h3, "kl_3": kl3, "score": sr1 + sr2 + sr}
 
 
+def inserting_score(successes, modes):
+    """successes/modes [C, T]; modes are the reference ids 1..6 (0 while
+    incomplete, gate_insertion.py:236-241). The reference ships no
+    simulation/inserting_sim.py, so the composite follows the pushing
+    convention: per-context entropy over the 6 orders, score 0.5*(SR + H)."""
+    sr = successes.mean()
+    probs = mode_probs_per_context(jnp.maximum(modes - 1, 0),
+                                   successes * (modes > 0), 6)
+    h = entropy(probs, 6)
+    return {"success_rate": sr, "entropy": h, "score": 0.5 * (sr + h)}
+
+
 def kl_to_prior(mode_probs, prior):
     """KL(p || prior) averaged over contexts (sorting_sim.py:192-218)."""
     p = mode_probs

@@ -129,6 +129,41 @@ class AligningSim:
 
 
 @dataclass
+class InsertingSim:
+    """Batched eval for the Inserting task (the reference declares the env,
+    gate_insertion.py:154, but ships no simulation harness; metrics follow
+    the pushing convention over the 6 insertion orders)."""
+    seed: int = 0
+    n_contexts: int = 30
+    n_trajectories_per_context: int = 8
+    max_steps: int = 400
+
+    def test_agent(self, agent, params=None):
+        from d3il_tpu.envs import inserting as env
+        params = params or inserting_params(max_steps=self.max_steps)
+        roll = rollout.make_rod_rollout(
+            params, env.reset, env.step, env.get_observation,
+            agent.policy_apply())
+        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
+                           self.seed)
+        obs_dim = 13  # des xy + robot xy + 3 x (box xy, tan yaw)
+
+        def run_one(ci, key):
+            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+            carry0 = agent.init_carry(obs_dim, key)
+            state, _ = roll(agent.params, carry0, ctx)
+            return state.success, env.decode_mode(state.order, state.n_visited)
+
+        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        jax.block_until_ready(succ)
+        C, T = self.n_contexts, self.n_trajectories_per_context
+        return {k: float(v) for k, v in metrics.inserting_score(
+            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(modes).reshape(C, T)).items()}
+
+
+@dataclass
 class SortingSim:
     """sorting_sim.py: mode = bit-packed color order; score SR - KL vs the
     demo mode prior (passed in as (mode_keys, prior), computed from the demo
@@ -255,6 +290,12 @@ def sorting_params(num_boxes: int, **kw):
     from d3il_tpu.envs import sorting
     key = ("sorting", num_boxes, tuple(sorted(kw.items())))
     return _cached(key, lambda: sorting.SortingParams(num_boxes, **kw))
+
+
+def inserting_params(**kw):
+    from d3il_tpu.envs import inserting
+    key = ("inserting", tuple(sorted(kw.items())))
+    return _cached(key, lambda: inserting.InsertingParams(**kw))
 
 
 def stacking_params(**kw):

@@ -103,9 +103,16 @@ def _tiny_agent(obs_dim, act_dim):
                           hidden_dim=16, num_hidden_layers=1)
 
 
-@pytest.mark.parametrize("case", ["pushing", "aligning", "sorting", "stacking"])
+@pytest.mark.parametrize("case", ["pushing", "aligning", "sorting", "stacking",
+                                  "inserting"])
 def test_sim_smoke(case):
-    if case == "pushing":
+    if case == "inserting":
+        sim = sims.InsertingSim(n_contexts=2, n_trajectories_per_context=2)
+        params = sims.inserting_params(kinematic=True)
+        params.max_steps = 3
+        out = sim.test_agent(_tiny_agent(13, 2), params=params)
+        assert set(out) >= {"success_rate", "entropy", "score"}
+    elif case == "pushing":
         sim = sims.PushingSim(n_contexts=2, n_trajectories_per_context=2)
         params = sims.pushing_params(kinematic=True)
         params.max_steps = 3
