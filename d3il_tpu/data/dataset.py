@@ -107,6 +107,23 @@ def assemble_aligning(ep: dict):
     return obs[:-1], act
 
 
+def assemble_inserting(ep: dict):
+    """obs = [des(2), cur(2)] + per box [pos(2), tan yaw] = 13. The reference
+    logs the three boxes as 'box-1/2/3' (gate_insertion.py:258-266) and ships
+    no inserting dataset class; the layout follows its get_observation
+    (gate_insertion.py:278-317) with the standard des-pos concat."""
+    des = np.asarray(ep["robot"]["des_c_pos"])[:, :2]
+    cur = np.asarray(ep["robot"]["c_pos"])[:, :2]
+    parts = [des, cur]
+    for i in (1, 2, 3):
+        key = f"box-{i}"
+        parts.append(np.asarray(ep[key]["pos"])[:, :2])
+        parts.append(_yaw_tan(np.asarray(ep[key]["quat"])))
+    obs = np.concatenate(parts, axis=-1)
+    act = des[1:] - des[:-1]
+    return obs[:-1], act
+
+
 def assemble_stacking(ep: dict):
     """obs = [des_j_pos(7), gripper_width(1), 3 boxes (pos3 + tan yaw)] = 20
     action = [d des_j_pos(7), gripper_width(1)] (stacking_dataset.py:92-140:

@@ -1,0 +1,126 @@
+"""Task and agent registries: the framework's composition layer.
+
+Replaces the reference's hydra `_target_` trees (configs/*_config.yaml +
+configs/agents/*.yaml, instantiated in run.py:40-62) with plain typed
+factories: every benchmark task maps to (env params, dataset assembly, eval
+sim) and every imitation method to a uniform constructor
+
+    make(key, obs_dim, act_dim, scaler, train_actions_scaled, **overrides)
+
+returning an agent exposing `loss_fn() / policy_apply() / init_carry() /
+params` (see d3il_tpu/agents/*).
+"""
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass, field
+from typing import Callable
+
+from d3il_tpu.data import dataset as ds
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    name: str
+    env_module: str                  # d3il_tpu.envs.<...>
+    params_name: str                 # Params class in the env module
+    assemble: Callable               # episode dict -> (obs, act)
+    obs_dim: int                     # agent input dim (incl. des-pos concat)
+    act_dim: int
+    sim_name: str                    # class in d3il_tpu.eval.sims
+    rollout: str                     # 'rod' (xy), 'rod3' (xyz), 'joint'
+    max_steps: int
+    params_kw: dict = field(default_factory=dict)
+    sim_kw: dict = field(default_factory=dict)
+
+    def env(self):
+        return importlib.import_module(self.env_module)
+
+    def make_params(self, **kw):
+        merged = dict(self.params_kw)
+        merged.update(kw)
+        return getattr(self.env(), self.params_name)(**merged)
+
+    def make_sim(self, **kw):
+        from d3il_tpu.eval import sims
+        merged = dict(self.sim_kw)
+        merged.update(kw)
+        return getattr(sims, self.sim_name)(**merged)
+
+
+TASKS: dict[str, TaskSpec] = {
+    "avoiding": TaskSpec(
+        "avoiding", "d3il_tpu.envs.avoiding", "AvoidingParams",
+        ds.assemble_avoiding, 4, 2, "AvoidingSim", "rod", 250),
+    "pushing": TaskSpec(
+        "pushing", "d3il_tpu.envs.pushing", "PushingParams",
+        ds.assemble_pushing, 10, 2, "PushingSim", "rod", 400),
+    "aligning": TaskSpec(
+        "aligning", "d3il_tpu.envs.aligning", "AligningParams",
+        ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400),
+    "sorting_2": TaskSpec(
+        "sorting_2", "d3il_tpu.envs.sorting", "SortingParams",
+        lambda ep: ds.assemble_sorting(ep, 2), 10, 2, "SortingSim", "rod",
+        700, params_kw={"num_boxes": 2}, sim_kw={"num_boxes": 2}),
+    "sorting_4": TaskSpec(
+        "sorting_4", "d3il_tpu.envs.sorting", "SortingParams",
+        lambda ep: ds.assemble_sorting(ep, 4), 16, 2, "SortingSim", "rod",
+        700, params_kw={"num_boxes": 4}, sim_kw={"num_boxes": 4}),
+    "sorting_6": TaskSpec(
+        "sorting_6", "d3il_tpu.envs.sorting", "SortingParams",
+        lambda ep: ds.assemble_sorting(ep, 6), 22, 2, "SortingSim", "rod",
+        700, params_kw={"num_boxes": 6}, sim_kw={"num_boxes": 6}),
+    "stacking": TaskSpec(
+        "stacking", "d3il_tpu.envs.stacking", "StackingParams",
+        ds.assemble_stacking, 20, 8, "StackingSim", "joint", 1000),
+    "inserting": TaskSpec(
+        "inserting", "d3il_tpu.envs.inserting", "InsertingParams",
+        ds.assemble_inserting, 13, 2, "InsertingSim", "rod", 2000),
+}
+
+
+@dataclass(frozen=True)
+class AgentSpec:
+    name: str
+    module: str
+    cls: str
+    ema_decay: float | None = None   # EMA tracking during fit (ddpm_agent.py:66-70)
+    needs_actions: bool = False      # k-means style fit over all demo actions
+    defaults: dict = field(default_factory=dict)
+
+    def make(self, key, obs_dim, act_dim, scaler, train_actions_scaled=None,
+             **overrides):
+        cls = getattr(importlib.import_module(self.module), self.cls)
+        kw = dict(self.defaults)
+        kw.update(overrides)
+        if self.needs_actions:
+            return cls.create(key, obs_dim, act_dim, scaler,
+                              train_actions_scaled, **kw)
+        return cls.create(key, obs_dim, act_dim, scaler, **kw)
+
+
+AGENTS: dict[str, AgentSpec] = {
+    "bc": AgentSpec("bc", "d3il_tpu.agents.bc", "BCAgent"),
+    "cvae": AgentSpec("cvae", "d3il_tpu.agents.cvae", "CVAEAgent"),
+    "gmm": AgentSpec("gmm", "d3il_tpu.agents.gmm", "GMMAgent"),
+    "ibc": AgentSpec("ibc", "d3il_tpu.agents.ibc", "IBCAgent"),
+    "gpt_bc": AgentSpec("gpt_bc", "d3il_tpu.agents.gpt_bc", "GPTBCAgent"),
+    "bet": AgentSpec("bet", "d3il_tpu.agents.bet", "BeTAgent",
+                     needs_actions=True, defaults={"use_gpt": True}),
+    "bet_mlp": AgentSpec("bet_mlp", "d3il_tpu.agents.bet", "BeTAgent",
+                         needs_actions=True, defaults={"use_gpt": False}),
+    "act": AgentSpec("act", "d3il_tpu.agents.act", "ACTAgent"),
+    "ddpm": AgentSpec("ddpm", "d3il_tpu.agents.ddpm", "DDPMAgent",
+                      ema_decay=0.995),
+    "ddpm_encdec": AgentSpec("ddpm_encdec", "d3il_tpu.agents.ddpm_encdec",
+                             "DDPMEncDecAgent", ema_decay=0.995),
+    "beso": AgentSpec("beso", "d3il_tpu.agents.beso", "BesoAgent",
+                      ema_decay=0.995),
+}
+
+
+def make_agent(name: str, key, obs_dim: int, act_dim: int, scaler,
+               train_actions_scaled=None, **overrides):
+    spec = AGENTS[name]
+    return spec.make(key, obs_dim, act_dim, scaler, train_actions_scaled,
+                     **overrides), spec.ema_decay

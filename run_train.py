@@ -1,11 +1,18 @@
 """Train + evaluate an agent on a task (the reference run.py equivalent).
 
   python run_train.py --task avoiding --agent bc --epochs 60 --n-trajs 48
+  python run_train.py --task pushing --agent ddpm --epochs 100
+
+Any registered task x agent combination works (d3il_tpu/registry.py):
+tasks avoiding | pushing | aligning | sorting_2/4/6 | stacking | inserting,
+agents bc | cvae | gmm | ibc | gpt_bc | bet | bet_mlp | act | ddpm |
+ddpm_encdec | beso.
 
 Pipeline: load demonstration pickles -> padded device tensors -> Scaler ->
 jitted epoch training -> batched on-device rollout evaluation (all episodes
-in lockstep under vmap, replacing the reference's process-per-env harness) ->
-success/entropy metrics + orbax checkpoint.
+in lockstep under vmap, replacing the reference's process-per-env harness,
+simulation/pushing_sim.py:93-138) -> success/entropy metrics + orbax
+checkpoint.
 """
 from __future__ import annotations
 
@@ -30,116 +37,108 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("D3IL_TPU_CACHE", "/tmp/d3il_tpu_jax_cache"))
 
+from d3il_tpu import registry  # noqa: E402
 from d3il_tpu.agents import base as agent_base  # noqa: E402
-from d3il_tpu.agents.bc import BCAgent  # noqa: E402
 from d3il_tpu.data import dataset as ds  # noqa: E402
 from d3il_tpu.data.scaler import Scaler  # noqa: E402
-from d3il_tpu.eval import metrics, rollout  # noqa: E402
 
 
-def load_task(name: str, kinematic: bool):
-    if name == "avoiding":
-        from d3il_tpu.envs import avoiding as env
-        params = env.AvoidingParams(kinematic=kinematic)
-        return params, env, ds.assemble_avoiding
-    if name == "pushing":
-        from d3il_tpu.envs import pushing as env
-        params = env.PushingParams(kinematic=kinematic)
-        return params, env, ds.assemble_pushing
-    raise ValueError(name)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="avoiding")
-    ap.add_argument("--agent", default="bc")
-    ap.add_argument("--data", default="data")
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--batch-size", type=int, default=512)
-    ap.add_argument("--window", type=int, default=1)
-    ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--n-trajs", type=int, default=48)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--kinematic", action="store_true", default=True)
-    ap.add_argument("--ddpm-steps", type=int, default=16)
-    ap.add_argument("--chunk", type=int, default=8)
-    ap.add_argument("--ckpt", default=None)
-    args = ap.parse_args()
-
+def build_agent_and_data(args, key):
+    """Load the task dataset, fit the Scaler, construct the agent, and
+    (re)window the training tensors to the agent's training window."""
+    spec = registry.TASKS[args.task]
     task_dir = os.path.join(args.data, args.task)
     with open(os.path.join(task_dir, "train_files.pkl"), "rb") as f:
         train_files = pickle.load(f)
     with open(os.path.join(task_dir, "eval_files.pkl"), "rb") as f:
         eval_files = pickle.load(f)
-    params, env_mod, assemble = load_task(args.task, args.kinematic)
-
     all_dir = os.path.join(task_dir, "all_data")
-    max_len = params.max_steps
-    train_data = ds.load_task_dataset(all_dir, train_files, assemble, max_len,
-                                      args.window)
-    val_data = ds.load_task_dataset(all_dir, eval_files, assemble, max_len,
-                                    args.window)
+    max_len = args.max_len or spec.max_steps
+    train_data = ds.load_task_dataset(all_dir, train_files, spec.assemble,
+                                      max_len, args.window)
+    val_data = ds.load_task_dataset(all_dir, eval_files, spec.assemble,
+                                    max_len, args.window)
     x, y = ds.all_valid(train_data)
     scaler = Scaler.fit(x, y)
     obs_dim, act_dim = x.shape[-1], y.shape[-1]
-    print(f"dataset: {len(train_files)} train eps, {train_data.n_windows} windows, "
-          f"obs {obs_dim} act {act_dim}")
+    assert obs_dim == spec.obs_dim and act_dim == spec.act_dim, (
+        f"dataset dims ({obs_dim},{act_dim}) != spec ({spec.obs_dim},{spec.act_dim})")
+    print(f"dataset: {len(train_files)} train eps, {train_data.n_windows} "
+          f"windows, obs {obs_dim} act {act_dim}")
 
-    key = jax.random.PRNGKey(args.seed)
-    key, k1 = jax.random.split(key)
-    kw = dict(hidden_dim=args.hidden, num_hidden_layers=args.layers,
-              window_size=args.window)
-    ema = None
-    if args.agent == "bc":
-        agent = BCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent == "cvae":
-        from d3il_tpu.agents.cvae import CVAEAgent
-        agent = CVAEAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent == "gmm":
-        from d3il_tpu.agents.gmm import GMMAgent
-        agent = GMMAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent == "ddpm":
-        from d3il_tpu.agents.ddpm import DDPMAgent
-        agent = DDPMAgent.create(k1, obs_dim, act_dim, scaler,
-                                 n_timesteps=args.ddpm_steps, **kw)
-        ema = 0.995
-    elif args.agent == "gpt_bc":
-        from d3il_tpu.agents.gpt_bc import GPTBCAgent
+    kw = dict(window_size=args.window)
+    if args.agent in ("bc", "cvae", "gmm", "ibc", "beso", "ddpm"):
+        kw.update(hidden_dim=args.hidden, num_hidden_layers=args.layers)
+    if args.agent in ("act", "ddpm_encdec"):
+        kw = dict(chunk=args.chunk)
+    if args.agent in ("ddpm", "ddpm_encdec"):
+        kw["n_timesteps"] = args.ddpm_steps
+    if args.agent == "gpt_bc":
         kw["window_size"] = max(args.window, 5)
-        agent = GPTBCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent in ("bet", "bet_mlp"):
-        from d3il_tpu.agents.bet import BeTAgent
+    acts_scaled = None
+    if registry.AGENTS[args.agent].needs_actions:
         acts_scaled = np.asarray(scaler.scale_output(jnp.asarray(y)))
-        agent = BeTAgent.create(k1, obs_dim, act_dim, scaler, acts_scaled,
-                                use_gpt=(args.agent == "bet"), **kw)
-    elif args.agent == "ibc":
-        from d3il_tpu.agents.ibc import IBCAgent
-        agent = IBCAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent == "beso":
-        from d3il_tpu.agents.beso import BesoAgent
-        agent = BesoAgent.create(k1, obs_dim, act_dim, scaler, **kw)
-    elif args.agent == "act":
-        from d3il_tpu.agents.act import ACTAgent
-        agent = ACTAgent.create(k1, obs_dim, act_dim, scaler, chunk=args.chunk)
-    elif args.agent == "ddpm_encdec":
-        from d3il_tpu.agents.ddpm_encdec import DDPMEncDecAgent
-        agent = DDPMEncDecAgent.create(k1, obs_dim, act_dim, scaler,
-                                       chunk=args.chunk,
-                                       n_timesteps=args.ddpm_steps)
-        ema = 0.995
-    else:
-        raise ValueError(args.agent)
+    agent, ema = registry.make_agent(args.agent, key, obs_dim, act_dim,
+                                     scaler, acts_scaled, **kw)
+
     # chunked/windowed agents train on wider windows: rebuild index tables
     want_window = getattr(agent, "train_window", None) or agent.window_size
     if want_window != args.window:
         args.window = want_window
         train_data = ds.rewindow(train_data, args.window)
         val_data = ds.rewindow(val_data, args.window)
+    return spec, agent, ema, train_data, val_data
 
-    cfg = agent_base.TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                                 window_size=args.window, eval_every_n_epochs=10,
-                                 ema_decay=ema)
+
+def evaluate(spec, agent, args):
+    params = spec.make_params(kinematic=args.kinematic,
+                              max_steps=args.eval_max_steps or spec.max_steps)
+    if spec.name == "avoiding":
+        sim = spec.make_sim(seed=args.seed,
+                            n_trajectories=args.n_trajs)
+    else:
+        sim = spec.make_sim(seed=args.seed, n_contexts=args.n_contexts,
+                            n_trajectories_per_context=args.n_trajs)
+    t0 = time.time()
+    out = sim.test_agent(agent, params=params)
+    out["eval_seconds"] = round(time.time() - t0, 1)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="avoiding", choices=sorted(registry.TASKS))
+    ap.add_argument("--agent", default="bc", choices=sorted(registry.AGENTS))
+    ap.add_argument("--data", default="data")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--max-len", type=int, default=None,
+                    help="pad length for the demo tensors (default: task max)")
+    ap.add_argument("--n-contexts", type=int, default=15)
+    ap.add_argument("--n-trajs", type=int, default=4,
+                    help="trajectories per context (avoiding: total)")
+    ap.add_argument("--eval-max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--kinematic", action="store_true", default=True,
+                    help="kinematic-arm eval (fast); --no-kinematic for full dynamics")
+    ap.add_argument("--no-kinematic", dest="kinematic", action="store_false")
+    ap.add_argument("--ddpm-steps", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--skip-eval", action="store_true")
+    args = ap.parse_args()
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k1 = jax.random.split(key)
+    spec, agent, ema, train_data, val_data = build_agent_and_data(args, k1)
+
+    cfg = agent_base.TrainConfig(epochs=args.epochs,
+                                 batch_size=args.batch_size,
+                                 window_size=args.window,
+                                 eval_every_n_epochs=10, ema_decay=ema)
     t0 = time.time()
     best, final, hist = agent_base.fit(agent.loss_fn(), agent.params,
                                        train_data, val_data, cfg, key,
@@ -152,45 +151,9 @@ def main():
         agent_base.save_checkpoint(args.ckpt, best)
         print("checkpoint saved:", args.ckpt)
 
-    # ---- batched evaluation ----
-    policy_apply = agent.policy_apply()
-    if args.task == "avoiding":
-        roll = rollout.make_rod_rollout(
-            params, lambda p, c: env_mod.reset(p), env_mod.step,
-            env_mod.get_observation, policy_apply)
-
-        def run_one(key):
-            carry0 = agent.init_carry(obs_dim, key)
-            state, dones = roll(agent.params, carry0, None)
-            return state.success, state.mode_encoding
-
-        t0 = time.time()
-        keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.n_trajs)
-        succ, enc = jax.jit(jax.vmap(run_one))(keys)
-        jax.block_until_ready(succ)
-        print(f"eval: {args.n_trajs} episodes in {time.time()-t0:.1f}s")
-        m = metrics.avoiding_score(np.asarray(succ, np.float32), jnp.asarray(enc))
-        result = {k: float(v) for k, v in m.items()}
-    elif args.task == "pushing":
-        roll = rollout.make_rod_rollout(
-            params, env_mod.reset, env_mod.step, env_mod.get_observation,
-            policy_apply)
-
-        def run_one(key):
-            k1, k2 = jax.random.split(key)
-            ctx = env_mod.sample_context(k1)
-            carry0 = agent.init_carry(obs_dim, k2)
-            state, dones = roll(agent.params, carry0, ctx)
-            return state.success, state.mode
-
-        keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.n_trajs)
-        succ, modes = jax.jit(jax.vmap(run_one))(keys)
-        jax.block_until_ready(succ)
-        m = metrics.pushing_score(
-            jnp.asarray(succ, jnp.float32).reshape(-1, 1),
-            jnp.asarray(modes).reshape(-1, 1))
-        result = {k: float(v) for k, v in m.items()}
-
+    result = {}
+    if not args.skip_eval:
+        result = evaluate(spec, agent, args)
     print(json.dumps({"task": args.task, "agent": args.agent, **result}))
 
 
