@@ -30,10 +30,19 @@ def pd_accel(gains: JointPDGains, q_des, qd_des, q, qd):
     return p * (q_des - q) + d * (qd_des - qd)
 
 
+def model_feedforward(ctrl_chain, q_des, qd_des, qdd_des):
+    """M(q_des) qdd_des + C(q_des, qd_des) — the model-based part of the
+    feedforward (Controller.py:261-266). Depends only on the desired
+    trajectory, so callers batch it over whole substep windows outside the
+    physics loop. One chain.dynamics call yields both M and the Coriolis
+    term (= bias with gravity off)."""
+    _, M, cor = chain_mod.dynamics(ctrl_chain, q_des, qd_des,
+                                   gravity=(0.0, 0.0, 0.0))
+    return M @ qdd_des + cor
+
+
 def feedforward_torque(ctrl_chain, gains: JointPDGains, q_des, qd_des, qdd_des,
                        q, qd):
     """PD + model feedforward on the *desired* trajectory (Controller.py:261-266)."""
-    acc = pd_accel(gains, q_des, qd_des, q, qd)
-    M = chain_mod.mass_matrix(ctrl_chain, q_des)
-    cor = chain_mod.coriolis_forces(ctrl_chain, q_des, qd_des)
-    return acc + M @ qdd_des + cor
+    return (pd_accel(gains, q_des, qd_des, q, qd)
+            + model_feedforward(ctrl_chain, q_des, qd_des, qdd_des))

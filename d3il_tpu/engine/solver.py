@@ -65,28 +65,75 @@ def _project_cone(f, mu):
     return out
 
 
-def solve_contacts(A, b0, mu, active, n_iters: int):
-    """Projected block Gauss-Seidel on the dual contact QP.
+def _project_cone_rows(f, mu, active):
+    """Vectorized elliptic friction-cone projection over contact rows.
+
+    f: [nc, 3] (fn, ft1, ft2); mu: [nc]; active: [nc] bool -> [nc, 3].
+    """
+    fn, ft = f[:, 0], f[:, 1:]
+    t = jnp.linalg.norm(ft, axis=1)
+    inside = t <= mu * fn
+    below = mu * t <= -fn
+    fn_p = (fn + mu * t) / (1.0 + mu * mu)
+    scale = mu * fn_p / jnp.maximum(t, 1e-12)
+    f_proj = jnp.concatenate([fn_p[:, None], ft * scale[:, None]], axis=1)
+    out = jnp.where(inside[:, None], f,
+                    jnp.where(below[:, None], jnp.zeros_like(f), f_proj))
+    return jnp.where(active[:, None], out, jnp.zeros_like(out))
+
+
+def solve_contacts(A, b0, mu, active, n_iters: int, f0=None):
+    """APGD on the dual contact QP  min_{f in cone} 1/2 f'Af + f'b0.
+
+    Accelerated projected gradient descent (Nesterov momentum + adaptive
+    restart; the scheme production rigid-body engines use for cone QPs) with
+    the Lipschitz constant from a short power iteration. Unlike the textbook
+    projected block Gauss-Seidel — whose nc-sequential inner sweeps made the
+    physics hot loop latency-bound — every iteration here is one batched
+    matvec + an elementwise cone projection, so the whole solve is ~n_iters
+    ops deep regardless of contact count and vmaps cleanly over env batches.
 
     A: [nc, 3, nc, 3] (dense, small nc), b0: [nc, 3], mu: [nc],
-    active: [nc] bool. Returns contact forces f [nc, 3].
+    active: [nc] bool, f0: optional warm start [nc, 3] (MuJoCo warm-starts
+    its solver from the previous step's solution the same way).
+    Returns contact forces f [nc, 3].
     """
     nc = b0.shape[0]
-    f = jnp.zeros_like(b0)
+    dtype = b0.dtype
     Af = A.reshape(nc * 3, nc * 3)
+    # zero inactive rows/cols so they don't pollute the Lipschitz estimate
+    act_flat = jnp.repeat(active, 3)
+    Af = jnp.where(act_flat[:, None] & act_flat[None, :], Af, 0.0)
+    b = jnp.where(act_flat, b0.reshape(-1), 0.0)
 
-    # block diagonal inverses (3x3), regularized
-    diag = jnp.einsum("ckcl->ckl", A)  # [nc,3,3]
-    eye = jnp.eye(3, dtype=b0.dtype)
-    diag_inv = jnp.linalg.inv(diag + 1e-10 * eye[None])
+    # Lipschitz constant: power iteration on the (PSD) Delassus matrix
+    v = jnp.ones(nc * 3, dtype)
+    def power(_, v):
+        v = Af @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    v = jax.lax.fori_loop(0, 6, power, v)
+    L = jnp.maximum(v @ (Af @ v), 1e-8)
+    step = 1.0 / L
 
-    def sweep(_, f):
-        def body(i, f):
-            g = (Af @ f.reshape(-1)).reshape(nc, 3)[i] + b0[i]
-            cand = f[i] - diag_inv[i] @ g
-            cand = _project_cone(cand, mu[i])
-            cand = jnp.where(active[i], cand, jnp.zeros_like(cand))
-            return f.at[i].set(cand)
-        return jax.lax.fori_loop(0, nc, body, f)
+    f = jnp.zeros_like(b0) if f0 is None else jnp.where(
+        active[:, None], f0, 0.0)
+    f = _project_cone_rows(f, mu, active)
+    y = f
+    theta = jnp.ones((), dtype)
 
-    return jax.lax.fori_loop(0, n_iters, sweep, f)
+    def body(_, carry):
+        f, y, theta = carry
+        g = (Af @ y.reshape(-1) + b).reshape(nc, 3)
+        f_new = _project_cone_rows(y - step * g, mu, active)
+        # adaptive restart: kill momentum when the gradient opposes progress
+        df = f_new - f
+        restart = jnp.sum(g * df) > 0.0
+        theta = jnp.where(restart, 1.0, theta)
+        theta_new = 0.5 * (jnp.sqrt(theta ** 4 + 4 * theta ** 2) - theta ** 2)
+        beta = theta * (1 - theta) / (theta ** 2 + theta_new)
+        beta = jnp.where(restart, 0.0, beta)
+        y_new = f_new + beta * df
+        return f_new, y_new, theta_new
+
+    f, _, _ = jax.lax.fori_loop(0, n_iters, body, (f, y, theta))
+    return f

@@ -28,6 +28,7 @@ from d3il_tpu.engine import collision
 from d3il_tpu.engine import solver as solver_mod
 from d3il_tpu.engine.model import (BOX, CAPSULE, CYLINDER, PLANE, SPHERE,
                                    SceneModel)
+from d3il_tpu.ops import linalg as linalg_ops
 from d3il_tpu.ops import quat as quat_ops
 from d3il_tpu.robot import chain as chain_mod
 
@@ -39,6 +40,8 @@ class SceneState(NamedTuple):
     free_quat: jax.Array  # [nf, 4]
     free_linvel: jax.Array   # [nf, 3] world frame
     free_angvel: jax.Array   # [nf, 3] body-local frame (MuJoCo free-joint dofs)
+    warm: jax.Array          # [ncon, 3] contact-force warm start (MuJoCo
+                             # warm-starts mj_step's solver the same way)
 
 
 def init_state(scene: SceneModel, q=None, free_pos=None, free_quat=None,
@@ -50,12 +53,14 @@ def init_state(scene: SceneModel, q=None, free_pos=None, free_quat=None,
         free_pos = jnp.zeros((nf, 3), dtype)
     if free_quat is None:
         free_quat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (nf, 1))
+    ncon = sum(p.max_points for p in scene.pairs)
     return SceneState(
         q=jnp.asarray(q, dtype), qd=jnp.zeros_like(jnp.asarray(q, dtype)),
         free_pos=jnp.asarray(free_pos, dtype),
         free_quat=jnp.asarray(free_quat, dtype),
         free_linvel=jnp.zeros((nf, 3), dtype),
-        free_angvel=jnp.zeros((nf, 3), dtype))
+        free_angvel=jnp.zeros((nf, 3), dtype),
+        warm=jnp.zeros((ncon, 3), dtype))
 
 
 def _geom_world_pose(scene: SceneModel, g, xpos, xquat, state: SceneState):
@@ -165,7 +170,12 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
     ROW_MU = np.asarray(_mu, np.float64)           # [ncon]
     NCON = len(_mu)
 
-    def step(state: SceneState, ctrl: jax.Array) -> SceneState:
+    def step(state: SceneState, ctrl: jax.Array,
+             dyn=None) -> SceneState:
+        """dyn: optional precomputed (fk_cache, M_arm, bias_arm) from
+        chain.dynamics(robot, q, qd, scene.gravity) at the pre-step state —
+        lets the caller share one dynamics evaluation between gravity
+        compensation and the engine instead of re-deriving it here."""
         dtype = state.q.dtype
         g = jnp.asarray(scene.gravity, dtype)
         D = jnp.asarray(robot.joint_damping, dtype)
@@ -178,17 +188,20 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
             a_smooth_arm = jnp.zeros(nv_r, dtype)
         else:
             # ---- smooth dynamics: robot ----
-            fk_cache = chain_mod.fk(robot, state.q)
-            M_arm = chain_mod.mass_matrix(robot, state.q)
-            bias_arm = chain_mod.bias_forces(robot, state.q, state.qd, scene.gravity)
+            if dyn is None:
+                dyn = chain_mod.dynamics(robot, state.q, state.qd,
+                                         scene.gravity)
+            fk_cache, M_arm, bias_arm = dyn
             fr = jnp.asarray(scene.forcerange, dtype)
             tau = jnp.clip(ctrl, fr[:, 0], fr[:, 1])
             # joint-limit containment for fingers is handled by the range clamp
             # at integration; smooth force excludes damping (implicit later)
             f_arm = tau - bias_arm
-            M_chol = jax.scipy.linalg.cho_factor(
-                M_arm + h * jnp.diag(D))  # used for both smooth + integration
-            Minv_arm = jax.scipy.linalg.cho_solve(M_chol, jnp.eye(nv_r, dtype=dtype))
+            # closed-form blocked inverse (ops/linalg): XLA's cho_factor is an
+            # iterative primitive costing ~0.7 ms per call on TPU; the 9x9
+            # mass matrix inverts in a few fused 3x3 ops and is reused for
+            # the smooth acceleration, the Delassus assembly and integration
+            Minv_arm = linalg_ops.inv_spd(M_arm + h * jnp.diag(D))
 
         # ---- smooth dynamics: free boxes ----
         m_f = jnp.asarray(scene.free_mass, dtype)              # [nf]
@@ -210,7 +223,7 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
                 return state
             # contact-free scene: smooth dynamics only
             rhs = M_arm @ state.qd + h * (tau - bias_arm)
-            qd_new = jax.scipy.linalg.cho_solve(M_chol, rhs)
+            qd_new = Minv_arm @ rhs
             q_new = state.q + h * qd_new
             lo = jnp.asarray(robot.joint_range[:, 0], dtype)
             hi = jnp.asarray(robot.joint_range[:, 1], dtype)
@@ -223,7 +236,8 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
                     q=q_clamped, qd=qd_new,
                     free_pos=state.free_pos + h * linvel_new,
                     free_quat=quat_ops.integrate(state.free_quat, angvel_new, h),
-                    free_linvel=linvel_new, free_angvel=angvel_new)
+                    free_linvel=linvel_new, free_angvel=angvel_new,
+                    warm=state.warm)
             return state._replace(q=q_clamped, qd=qd_new)
 
         contacts, _metas = _contact_rows(scene, state, fk_cache)
@@ -282,7 +296,7 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
                   jnp.zeros(0, dtype))
         v_all = jnp.concatenate([state.qd, v_free])
         if not kinematic_robot:
-            a_smooth_arm = jax.scipy.linalg.cho_solve(M_chol, f_arm)  # (M+hD)^-1
+            a_smooth_arm = Minv_arm @ f_arm  # (M+hD)^-1 f
         a_free_v = (jnp.concatenate(
             [jnp.broadcast_to(g, (nf, 3)), f_free_ang / I_f], axis=1).reshape(-1)
             if nf else jnp.zeros(0, dtype))
@@ -327,7 +341,8 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
                  jnp.arange(ncon)[:, None], jnp.arange(3)[None, :]].add(Rreg)
 
         b0 = a0 - aref
-        f = solver_mod.solve_contacts(A, b0, mu, active, scene.solver_iters)
+        f = solver_mod.solve_contacts(A, b0, mu, active, scene.solver_iters,
+                                      f0=state.warm)
 
         # ---- constraint forces back to generalized coords ----
         qfrc_con = jnp.einsum("cki,ck->i", J, f)
@@ -338,7 +353,7 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
         else:
             # arm: (M + hD) v' = M v + h (tau - bias + qfrc_con_arm)
             rhs = M_arm @ state.qd + h * (tau - bias_arm + qfrc_con[:nv_r])
-            qd_new = jax.scipy.linalg.cho_solve(M_chol, rhs)
+            qd_new = Minv_arm @ rhs
             q_new = state.q + h * qd_new
             # joint range clamp (hard stop; proper limit constraints TODO)
             lo = jnp.asarray(robot.joint_range[:, 0], dtype)
@@ -359,6 +374,6 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
 
         return SceneState(q=q_new, qd=qd_new, free_pos=pos_new,
                           free_quat=quat_new, free_linvel=linvel_new,
-                          free_angvel=angvel_new)
+                          free_angvel=angvel_new, warm=f)
 
     return step

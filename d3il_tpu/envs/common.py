@@ -96,13 +96,13 @@ class RodTaskParams:
         return xpos[self.tcp_body], xquat[self.tcp_body]
 
 
-def control_substep(params: RodTaskParams, carry, _,
+def physics_substep(params: RodTaskParams, sc, q_des, qd_des, tau_model,
                     set_width=0.04, grasp_flag=False):
-    """One 1 ms tick: controller + physics. carry = (scene_state, ctrl_state,
-    des_pos, des_quat)."""
-    sc, cs, des_pos, des_quat = carry
-    cs, q_des, qd_des, qdd_des = cartesian.step(
-        params.ctrl_chain, params.cart_gains, cs, des_pos, des_quat, params.dt)
+    """One 1 ms physics tick given the controller's joint setpoint and the
+    precomputed model feedforward torque (the q_des-only part). One
+    chain.dynamics evaluation is shared between gravity compensation
+    (preprocessCommand, Robots.py:552-559 — sim-model bias at the pre-step
+    state) and the engine's smooth dynamics."""
     if params.kinematic:
         # neglect_dynamics mode (reference IKControllers.py:317-319): the arm
         # is beamed along the IK's virtual trajectory; fingers rate-track the
@@ -111,46 +111,88 @@ def control_substep(params: RodTaskParams, carry, _,
                      sc.q[7:] - 0.2 * params.dt, sc.q[7:] + 0.2 * params.dt)
         q_new = jnp.concatenate([q_des, w])
         qd_new = (q_new - sc.q) / params.dt
-        sc = params._engine_step(sc, jnp.concatenate([q_new, qd_new]))
-        return (sc, cs, des_pos, des_quat), None
-    tau = joint_pd.feedforward_torque(
-        params.ctrl_chain, params.pd_gains, q_des, qd_des, qdd_des,
-        sc.q[:7], sc.qd[:7])
+        return params._engine_step(sc, jnp.concatenate([q_new, qd_new]))
+    dyn = chain_mod.dynamics(params.scene.robot, sc.q, sc.qd,
+                             params.scene.gravity)
+    tau = joint_pd.pd_accel(params.pd_gains, q_des, qd_des,
+                            sc.q[:7], sc.qd[:7]) + tau_model
     fing = gripper.finger_forces(sc.q[7:], sc.qd[7:], set_width, grasp_flag)
-    # gravity compensation: sim-model bias at the pre-step state
-    # (preprocessCommand, Robots.py:552-559; fingers get the raw command,
-    # MjRobot.prepare_step:129-130)
-    bias = chain_mod.bias_forces(params.scene.robot, sc.q, sc.qd,
-                                 params.scene.gravity)
-    ctrl = jnp.concatenate([tau + bias[:7], fing])
-    sc = params._engine_step(sc, ctrl)
+    # fingers get the raw command (MjRobot.prepare_step:129-130)
+    ctrl = jnp.concatenate([tau + dyn[2][:7], fing])
+    return params._engine_step(sc, ctrl, dyn)
+
+
+def ik_trajectory(params: RodTaskParams, cs, des_pos, des_quat):
+    """Run the cartesian DLS-IK controller for a whole substep window.
+
+    The impedance controller's virtual joint trajectory evolves independently
+    of the plant (joint_filter_coefficient == 1.0: measured joints only seed
+    it, IKControllers.py:168-169), so the n_substeps controller updates are
+    hoisted out of the physics loop into their own scan. Returns
+    (cs, (q_des, qd_des, qdd_des)) with trajectory arrays [n_substeps, 7]."""
+    def body(cs, _):
+        cs, q_des, qd_des, qdd_des = cartesian.step(
+            params.ctrl_chain, params.cart_gains, cs, des_pos, des_quat,
+            params.dt)
+        return cs, (q_des, qd_des, qdd_des)
+
+    return jax.lax.scan(body, cs, None, length=params.n_substeps)
+
+
+def control_substep(params: RodTaskParams, carry, _,
+                    set_width=0.04, grasp_flag=False):
+    """One 1 ms tick: controller + physics (interleaved form, kept for
+    API parity/tests; run_substeps uses the hoisted-IK fast path)."""
+    sc, cs, des_pos, des_quat = carry
+    cs, q_des, qd_des, qdd_des = cartesian.step(
+        params.ctrl_chain, params.cart_gains, cs, des_pos, des_quat, params.dt)
+    tau_model = joint_pd.model_feedforward(params.ctrl_chain, q_des, qd_des,
+                                           qdd_des)
+    sc = physics_substep(params, sc, q_des, qd_des, tau_model,
+                         set_width, grasp_flag)
     return (sc, cs, des_pos, des_quat), None
 
 
 def hold_substep(params: RodTaskParams, carry, _):
     """Joint-PD hold at a fixed setpoint (reset settling: the reference beams
-    then runs scene.next_step under the joint tracking controller)."""
+    then runs scene.next_step under the joint tracking controller). With
+    qd_des = qdd_des = 0 the model feedforward M qdd + C(q, 0) is identically
+    zero, leaving the PD term only."""
     sc, q_hold = carry
     if params.kinematic:
         q_new = jnp.concatenate([q_hold, sc.q[7:]])
         sc = params._engine_step(sc, jnp.concatenate(
             [q_new, jnp.zeros_like(q_new)]))
         return (sc, q_hold), None
-    z7 = jnp.zeros(7, sc.q.dtype)
-    tau = joint_pd.feedforward_torque(
-        params.ctrl_chain, params.pd_gains, q_hold, z7, z7, sc.q[:7], sc.qd[:7])
-    fing = gripper.finger_forces(sc.q[7:], sc.qd[7:], 0.04, False)
-    bias = chain_mod.bias_forces(params.scene.robot, sc.q, sc.qd,
-                                 params.scene.gravity)
-    ctrl = jnp.concatenate([tau + bias[:7], fing])
-    sc = params._engine_step(sc, ctrl)
+    sc = physics_substep(params, sc, q_hold, jnp.zeros(7, sc.q.dtype),
+                         jnp.zeros(7, sc.q.dtype))
     return (sc, q_hold), None
 
 
-def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat):
-    (sc, cs, _, _), _ = jax.lax.scan(
-        functools.partial(control_substep, params),
-        (sc, cs, des_pos, des_quat), None, length=params.n_substeps)
+def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat,
+                 set_width=0.04, grasp_flag=False):
+    """n_substeps of controller + physics: IK trajectory first (its own
+    scan), model feedforward batched over the window (one vmapped dynamics
+    call instead of n_substeps sequential ones), then the physics scan."""
+    cs, (q_des, qd_des, qdd_des) = ik_trajectory(params, cs, des_pos, des_quat)
+    if params.kinematic:
+        def kin_body(sc, q_d):
+            sc = physics_substep(params, sc, q_d, None, None,
+                                 set_width, grasp_flag)
+            return sc, None
+        sc, _ = jax.lax.scan(kin_body, sc, q_des)
+        return sc, cs
+    tau_model = jax.vmap(
+        lambda a, b, c: joint_pd.model_feedforward(params.ctrl_chain, a, b, c)
+    )(q_des, qd_des, qdd_des)
+
+    def body(sc, inp):
+        q_d, qd_d, tau_m = inp
+        sc = physics_substep(params, sc, q_d, qd_d, tau_m,
+                             set_width, grasp_flag)
+        return sc, None
+
+    sc, _ = jax.lax.scan(body, sc, (q_des, qd_des, tau_model))
     return sc, cs
 
 

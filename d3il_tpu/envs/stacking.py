@@ -120,14 +120,16 @@ def _joint_substep(params, carry, _):
         qd_new = (q_new - sc.q) / params.dt
         sc = params._engine_step(sc, jnp.concatenate([q_new, qd_new]))
         return (sc, q_des, set_width, grasp), None
+    # fixed setpoint: the model feedforward M qdd + C(q_des, 0) is zero, so
+    # the torque is PD only; one dynamics call is shared between gravity
+    # compensation and the engine (preprocessCommand, Robots.py:552-559)
     z7 = jnp.zeros(7, sc.q.dtype)
-    tau = joint_pd.feedforward_torque(params.ctrl_chain, params.pd_gains,
-                                      q_des, z7, z7, sc.q[:7], sc.qd[:7])
+    dyn = chain_mod.dynamics(params.scene.robot, sc.q, sc.qd,
+                             params.scene.gravity)
+    tau = joint_pd.pd_accel(params.pd_gains, q_des, z7, sc.q[:7], sc.qd[:7])
     fing = gripper.finger_forces(sc.q[7:], sc.qd[7:], set_width, grasp)
-    bias = chain_mod.bias_forces(params.scene.robot, sc.q, sc.qd,
-                                 params.scene.gravity)
-    ctrl = jnp.concatenate([tau + bias[:7], fing])
-    sc = params._engine_step(sc, ctrl)
+    ctrl = jnp.concatenate([tau + dyn[2][:7], fing])
+    sc = params._engine_step(sc, ctrl, dyn)
     return (sc, q_des, set_width, grasp), None
 
 

@@ -154,6 +154,19 @@ class ChainBuilder:
 # Kinematics
 # ---------------------------------------------------------------------------
 
+def _fk_doubling_meta(chain: Chain):
+    """Static pointer-doubling schedule: list of parent-index arrays, one per
+    doubling level, padded with a virtual identity body at index nb."""
+    nb = chain.nb
+    par = np.where(chain.parent < 0, nb, chain.parent)
+    par = np.append(par, nb).astype(np.int32)
+    levels = []
+    while np.any(par[:nb] != nb):
+        levels.append(par.copy())
+        par = par[par]
+    return levels
+
+
 def fk(chain: Chain, q: jax.Array):
     """Forward kinematics.
 
@@ -161,53 +174,49 @@ def fk(chain: Chain, q: jax.Array):
     MuJoCo frame semantics: child frame offset (body_pos, body_quat) from the
     parent frame, then the joint transform about `joint_pos` (hinge) or along
     `joint_axis` (slide).
+
+    Implementation: all per-body local transforms are built in one batched
+    pass, then composed to world frames by pointer doubling over the parent
+    map — ceil(log2(depth)) gather+compose levels instead of a depth-long
+    sequential chain (the hot-loop critical path shrinks ~4x for the 13-body
+    Panda scene chain).
     """
     dtype = q.dtype
-    xpos, xquat = [], []
-    for i in range(chain.nb):
-        p = chain.parent[i]
-        if p < 0:
-            base_p = jnp.asarray(chain.body_pos[i], dtype)
-            base_q = jnp.asarray(chain.body_quat[i], dtype)
-        else:
-            base_p = xpos[p] + quat_ops.rotate(
-                xquat[p], jnp.asarray(chain.body_pos[i], dtype))
-            base_q = quat_ops.mul(xquat[p], jnp.asarray(chain.body_quat[i], dtype))
-        jt = int(chain.joint_type[i])
-        if jt == HINGE:
-            qi = q[chain.body_dof[i]]
-            axis = jnp.asarray(chain.joint_axis[i], dtype)
-            jq = quat_ops.from_axis_angle(axis, qi)
-            new_q = quat_ops.mul(base_q, jq)
-            anchor = jnp.asarray(chain.joint_pos[i], dtype)
-            # rotate about the anchor point, not the frame origin
-            new_p = base_p + quat_ops.rotate(base_q, anchor) - quat_ops.rotate(new_q, anchor)
-            xpos.append(new_p)
-            xquat.append(new_q)
-        elif jt == SLIDE:
-            qi = q[chain.body_dof[i]]
-            axis = jnp.asarray(chain.joint_axis[i], dtype)
-            xpos.append(base_p + quat_ops.rotate(base_q, axis) * qi)
-            xquat.append(base_q)
-        else:
-            xpos.append(base_p)
-            xquat.append(base_q)
-        # Materialization barrier per body: without it, XLA's fusion pass
-        # duplicates each parent's subgraph into every consumer, growing the
-        # unrolled kinematic chain exponentially with depth (measured: ~14k
-        # scalar HLO ops and ~300 ms/call for 13 bodies on CPU).
-        xpos[-1], xquat[-1] = jax.lax.optimization_barrier((xpos[-1], xquat[-1]))
-    return jnp.stack(xpos), jnp.stack(xquat)
+    nb = chain.nb
+    bq = jnp.asarray(chain.body_quat, dtype)          # [nb,4]
+    bp = jnp.asarray(chain.body_pos, dtype)           # [nb,3]
+    axis = jnp.asarray(chain.joint_axis, dtype)       # [nb,3]
+    anchor = jnp.asarray(chain.joint_pos, dtype)      # [nb,3]
+    is_hinge = jnp.asarray(chain.joint_type == HINGE, dtype)[:, None]
+    is_slide = jnp.asarray(chain.joint_type == SLIDE, dtype)[:, None]
+    qdof = q[np.maximum(chain.body_dof, 0)][:, None]  # [nb,1] (junk if fixed)
+
+    # local joint rotation (identity for fixed/slide via theta = 0)
+    theta = (is_hinge * qdof)[:, 0]
+    jq = quat_ops.from_axis_angle(axis, theta)        # [nb,4]
+    lq = quat_ops.mul(bq, jq)
+    # hinge rotates about the anchor point; slide translates along the axis
+    lp = (bp + quat_ops.rotate(bq, anchor) - quat_ops.rotate(lq, anchor)
+          + quat_ops.rotate(bq, axis) * (is_slide * qdof))
+
+    # pointer doubling to world frames (virtual identity body at index nb)
+    xq = jnp.concatenate([lq, jnp.array([[1.0, 0, 0, 0]], dtype)])
+    xp = jnp.concatenate([lp, jnp.zeros((1, 3), dtype)])
+    for par in _fk_doubling_meta(chain):
+        pq, pp = xq[par], xp[par]
+        xq = quat_ops.mul(pq, xq)
+        xp = pp + quat_ops.rotate(pq, xp)
+    return xp[:nb], xq[:nb]
 
 
 def _dof_frames(chain: Chain, xpos, xquat):
     """World-frame axis and anchor point of every dof. Returns ([nv,3],[nv,3])."""
-    axes, anchors = [], []
-    for j in range(chain.nv):
-        i = int(chain.dof_body[j])
-        axes.append(quat_ops.rotate(xquat[i], jnp.asarray(chain.joint_axis[i], xpos.dtype)))
-        anchors.append(xpos[i] + quat_ops.rotate(xquat[i], jnp.asarray(chain.joint_pos[i], xpos.dtype)))
-    return jnp.stack(axes), jnp.stack(anchors)
+    dtype = xpos.dtype
+    bi = chain.dof_body
+    qb, pb = xquat[bi], xpos[bi]
+    axes = quat_ops.rotate(qb, jnp.asarray(chain.joint_axis[bi], dtype))
+    anchors = pb + quat_ops.rotate(qb, jnp.asarray(chain.joint_pos[bi], dtype))
+    return axes, anchors
 
 
 def point_jacobian(chain: Chain, q: jax.Array, body: int, offset=None,
@@ -295,6 +304,44 @@ def mass_matrix(chain: Chain, q: jax.Array) -> jax.Array:
     return M_lin + M_ang
 
 
+def dynamics(chain: Chain, q: jax.Array, qd: jax.Array,
+             gravity=(0.0, 0.0, -9.81)):
+    """Combined FK + mass matrix + bias forces from ONE jvp pass.
+
+    Returns ((xpos [nb,3], xquat [nb,4]), M [nv,nv], bias [nv]) where
+    bias = C(q, qd) qd + g(q) (MuJoCo qfrc_bias convention). The body
+    Jacobians and their time derivatives are computed once (primal + tangent
+    of a single jvp), replacing the separate mass_matrix / bias_forces / fk
+    calls of the naive pipeline — the physics hot loop's dominant cost is
+    sequential op count, and this collapses ~5 FK-equivalent evaluations
+    into ~2.
+    """
+    dtype = q.dtype
+    g = jnp.asarray(gravity, dtype)
+    m = jnp.asarray(chain.mass, dtype)
+
+    def jac_pose(qq):
+        jp, jr, (xpos, xquat, coms) = _body_jacobians(chain, qq)
+        return jp, jr, xpos, xquat
+
+    (jp, jr, xpos, xquat), (djp, djr, _, _) = jax.jvp(
+        jac_pose, (q,), (qd,))
+    Iw = _world_inertias(chain, xquat)
+    # mass matrix
+    M = (jnp.einsum("bik,b,bil->kl", jp, m, jp)
+         + jnp.einsum("bik,bij,bjl->kl", jr, Iw, jr))
+    # bias: dJ/dt qd terms
+    w = jr @ qd
+    a_bias = jnp.einsum("bik,k->bi", djp, qd)
+    alpha_bias = jnp.einsum("bik,k->bi", djr, qd)
+    f_lin = m[:, None] * (a_bias - g[None, :])
+    f_ang = jnp.einsum("bij,bj->bi", Iw, alpha_bias) + jnp.cross(
+        w, jnp.einsum("bij,bj->bi", Iw, w))
+    bias = (jnp.einsum("bik,bi->k", jp, f_lin)
+            + jnp.einsum("bik,bi->k", jr, f_ang))
+    return (xpos, xquat), M, bias
+
+
 def bias_forces(chain: Chain, q: jax.Array, qd: jax.Array,
                 gravity=(-0.0, 0.0, -9.81)) -> jax.Array:
     """tau_bias = C(q, qd) qd + g(q)  [nv].
@@ -302,21 +349,7 @@ def bias_forces(chain: Chain, q: jax.Array, qd: jax.Array,
     Sign convention matches MuJoCo's qfrc_bias and pinocchio's rnea(q, v, 0):
     the generalized force required to sustain zero acceleration.
     """
-    dtype = q.dtype
-    g = jnp.asarray(gravity, dtype)
-
-    def body_vel(qq):
-        jp, jr, _ = _body_jacobians(chain, qq)
-        return jp @ qd, jr @ qd  # ([nb,3],[nb,3]) com velocity, angular velocity
-
-    (v, w), (a_bias, alpha_bias) = jax.jvp(body_vel, (q,), (qd,))
-    jp, jr, (xpos, xquat, coms) = _body_jacobians(chain, q)
-    Iw = _world_inertias(chain, xquat)
-    m = jnp.asarray(chain.mass, dtype)
-    f_lin = m[:, None] * (a_bias - g[None, :])                      # [nb,3]
-    f_ang = jnp.einsum("bij,bj->bi", Iw, alpha_bias) + jnp.cross(
-        w, jnp.einsum("bij,bj->bi", Iw, w))
-    return jnp.einsum("bik,bi->k", jp, f_lin) + jnp.einsum("bik,bi->k", jr, f_ang)
+    return dynamics(chain, q, qd, gravity)[2]
 
 
 def gravity_forces(chain: Chain, q: jax.Array, gravity=(0.0, 0.0, -9.81)) -> jax.Array:
@@ -325,6 +358,9 @@ def gravity_forces(chain: Chain, q: jax.Array, gravity=(0.0, 0.0, -9.81)) -> jax
 
 
 def coriolis_forces(chain: Chain, q: jax.Array, qd: jax.Array) -> jax.Array:
-    """C(q, qd) qd without gravity (reference Model.py:78-86 get_coriolis)."""
-    return bias_forces(chain, q, qd, gravity=(0.0, 0.0, 0.0)) - bias_forces(
-        chain, q, jnp.zeros_like(q), gravity=(0.0, 0.0, 0.0))
+    """C(q, qd) qd without gravity (reference Model.py:78-86 get_coriolis).
+
+    bias_forces with zero gravity IS the Coriolis term (the former subtrahend
+    bias_forces(q, 0, g=0) is identically zero: with qd = 0 every velocity-
+    dependent term vanishes and gravity is off)."""
+    return bias_forces(chain, q, qd, gravity=(0.0, 0.0, 0.0))
