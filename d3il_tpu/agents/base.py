@@ -48,15 +48,28 @@ def make_optimizer(cfg: TrainConfig):
 def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
         val_data: ds.TrajectoryData | None, cfg: TrainConfig, key,
         val_metric_fn: Callable | None = None, log_every: int = 0,
-        callback=None):
-    """Generic training loop.
+        callback=None, mesh=None):
+    """Generic training loop, data-parallel over the device mesh.
 
     loss_fn(params, obs_window [B,W,Do], act_window [B,W,Da], key) -> scalar.
     val_metric_fn(params, obs, act) -> scalar (defaults to loss with fixed key).
     Returns (best_params, final_params, history).
+
+    Sharding (replaces the reference's torch DataParallel,
+    bc_agent.py:92-97): with >1 device (or an explicit `mesh`) the minibatch
+    is constrained to the mesh's "dp" axis inside the jitted step, params and
+    optimizer state are replicated, and XLA partitions the loss/grad
+    computation and inserts the gradient all-reduce over ICI.
     """
+    from d3il_tpu.parallel import mesh as pmesh
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = pmesh.data_mesh()
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
+    if mesh is not None:
+        params = pmesh.replicate(mesh, params)
+        opt_state = pmesh.replicate(mesh, opt_state)
     spe = cfg.steps_per_epoch or max(1, train_data.n_windows // cfg.batch_size)
 
     ema = cfg.ema_decay
@@ -68,6 +81,7 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
             k1, k2 = jax.random.split(k)
             obs, act = ds.sample_windows(train_data, k1, cfg.batch_size,
                                          cfg.window_size)
+            obs, act = pmesh.constrain_batch((obs, act), mesh)
             loss, grads = jax.value_and_grad(loss_fn)(params, obs, act, k2)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from d3il_tpu.eval import metrics, rollout
+from d3il_tpu.parallel import mesh as pmesh
 
 CONTEXT_SEED = 2
 
@@ -56,7 +57,7 @@ class AvoidingSim:
 
         keys = jax.random.split(jax.random.PRNGKey(self.seed + 1),
                                 self.n_trajectories)
-        succ, enc = jax.jit(jax.vmap(run_one))(keys)
+        succ, enc = pmesh.run_sharded(run_one, keys)
         jax.block_until_ready(succ)
         return {k: float(v) for k, v in metrics.avoiding_score(
             jnp.asarray(succ, jnp.float32), jnp.asarray(enc)).items()}
@@ -85,7 +86,7 @@ class PushingSim:
             state, _ = roll(agent.params, carry0, ctx)
             return state.success, state.mode
 
-        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.pushing_score(
@@ -119,7 +120,7 @@ class AligningSim:
                                           state.target_quat) / jnp.pi
             return state.success, state.mode, 0.5 * (pos_d + rot_d)
 
-        succ, modes, dist = jax.jit(jax.vmap(run_one))(cidx, keys)
+        succ, modes, dist = pmesh.run_sharded(run_one, cidx, keys)
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.aligning_score(
@@ -155,7 +156,7 @@ class InsertingSim:
             state, _ = roll(agent.params, carry0, ctx)
             return state.success, env.decode_mode(state.order, state.n_visited)
 
-        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.inserting_score(
@@ -193,7 +194,7 @@ class SortingSim:
             state, _ = roll(agent.params, carry0, ctx)
             return state.success, env.decode_mode(state.mode, params.num_boxes)
 
-        succ, modes = jax.jit(jax.vmap(run_one))(cidx, keys)
+        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         if mode_keys is None:
@@ -229,7 +230,7 @@ class StackingSim:
             return (state.success, state.mode_len > 0, state.mode_len > 1,
                     state.mode, state.mode_len)
 
-        succ, s1, s2, order, mlen = jax.jit(jax.vmap(run_one))(cidx, keys)
+        succ, s1, s2, order, mlen = pmesh.run_sharded(run_one, cidx, keys)
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         if priors is None:
