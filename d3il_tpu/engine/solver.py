@@ -83,15 +83,23 @@ def _project_cone_rows(f, mu, active):
 
 
 def solve_contacts(A, b0, mu, active, n_iters: int, f0=None):
-    """APGD on the dual contact QP  min_{f in cone} 1/2 f'Af + f'b0.
+    """Preconditioned APGD on the dual contact QP
+    min_{f in cone} 1/2 f'Af + f'b0.
 
     Accelerated projected gradient descent (Nesterov momentum + adaptive
-    restart; the scheme production rigid-body engines use for cone QPs) with
-    the Lipschitz constant from a short power iteration. Unlike the textbook
-    projected block Gauss-Seidel — whose nc-sequential inner sweeps made the
-    physics hot loop latency-bound — every iteration here is one batched
-    matvec + an elementwise cone projection, so the whole solve is ~n_iters
-    ops deep regardless of contact count and vmaps cleanly over env batches.
+    restart; the scheme production rigid-body engines use for cone QPs).
+    Unlike the textbook projected block Gauss-Seidel — whose nc-sequential
+    inner sweeps made the physics hot loop latency-bound — every iteration
+    here is one batched matvec + an elementwise cone projection, so the
+    whole solve is ~n_iters ops deep regardless of contact count and vmaps
+    cleanly over env batches.
+
+    Preconditioning: each contact block is scaled by diag(sn, st, st)^-1/2
+    with sn/st the block's normal/mean-tangential diagonal. An equal scale
+    on both tangential axes keeps the friction cone circular in the scaled
+    variables (mu' = mu sqrt(st/sn)), so the projection stays closed-form
+    while the Lipschitz spread — and hence the iteration count — drops.
+    The step size comes from a short power iteration on the scaled matrix.
 
     A: [nc, 3, nc, 3] (dense, small nc), b0: [nc, 3], mu: [nc],
     active: [nc] bool, f0: optional warm start [nc, 3] (MuJoCo warm-starts
@@ -99,34 +107,51 @@ def solve_contacts(A, b0, mu, active, n_iters: int, f0=None):
     Returns contact forces f [nc, 3].
     """
     nc = b0.shape[0]
+    n = nc * 3
     dtype = b0.dtype
-    Af = A.reshape(nc * 3, nc * 3)
-    # zero inactive rows/cols so they don't pollute the Lipschitz estimate
+    Af = A.reshape(n, n)
     act_flat = jnp.repeat(active, 3)
-    Af = jnp.where(act_flat[:, None] & act_flat[None, :], Af, 0.0)
-    b = jnp.where(act_flat, b0.reshape(-1), 0.0)
 
-    # Lipschitz constant: power iteration on the (PSD) Delassus matrix
-    v = jnp.ones(nc * 3, dtype)
+    # block-diagonal scaling, circular-cone preserving
+    dA = jnp.diagonal(Af)                      # [n]
+    d3 = dA.reshape(nc, 3)
+    sn = jnp.maximum(d3[:, 0], 1e-10)
+    st = jnp.maximum(0.5 * (d3[:, 1] + d3[:, 2]), 1e-10)
+    s = jnp.stack([sn, st, st], axis=1).reshape(n)     # [n]
+    s_half = jnp.sqrt(s)
+    mu_s = mu * jnp.sqrt(st / sn)
+
+    # scaled, masked system: Ah = S^-1/2 A S^-1/2, bh = S^-1/2 b
+    mask = act_flat.astype(dtype)
+    inv_sh = mask / s_half
+    Ah = Af * (inv_sh[:, None] * inv_sh[None, :])
+    bh = b0.reshape(n) * inv_sh
+
+    # Lipschitz constant of the scaled system: short power iteration
+    v = jnp.ones(n, dtype)
     def power(_, v):
-        v = Af @ v
+        v = Ah @ v
         return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
-    v = jax.lax.fori_loop(0, 6, power, v)
-    L = jnp.maximum(v @ (Af @ v), 1e-8)
+    v = jax.lax.fori_loop(0, 4, power, v)
+    L = jnp.maximum(v @ (Ah @ v), 1.0)  # scaled diag is 1 -> L >= 1
     step = 1.0 / L
 
-    f = jnp.zeros_like(b0) if f0 is None else jnp.where(
-        active[:, None], f0, 0.0)
-    f = _project_cone_rows(f, mu, active)
-    y = f
+    def proj(fh):
+        return _project_cone_rows(fh.reshape(nc, 3), mu_s,
+                                  active).reshape(n)
+
+    fh = (jnp.zeros(n, dtype) if f0 is None
+          else f0.reshape(n) * s_half * mask)
+    fh = proj(fh)
+    y = fh
     theta = jnp.ones((), dtype)
 
     def body(_, carry):
-        f, y, theta = carry
-        g = (Af @ y.reshape(-1) + b).reshape(nc, 3)
-        f_new = _project_cone_rows(y - step * g, mu, active)
+        fh, y, theta = carry
+        g = Ah @ y + bh
+        f_new = proj(y - step * g)
         # adaptive restart: kill momentum when the gradient opposes progress
-        df = f_new - f
+        df = f_new - fh
         restart = jnp.sum(g * df) > 0.0
         theta = jnp.where(restart, 1.0, theta)
         theta_new = 0.5 * (jnp.sqrt(theta ** 4 + 4 * theta ** 2) - theta ** 2)
@@ -135,5 +160,5 @@ def solve_contacts(A, b0, mu, active, n_iters: int, f0=None):
         y_new = f_new + beta * df
         return f_new, y_new, theta_new
 
-    f, _, _ = jax.lax.fori_loop(0, n_iters, body, (f, y, theta))
-    return f
+    fh, _, _ = jax.lax.fori_loop(0, n_iters, body, (fh, y, theta))
+    return (fh / s_half * mask).reshape(nc, 3)

@@ -302,27 +302,28 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
             if nf else jnp.zeros(0, dtype))
         a_smooth = jnp.concatenate([a_smooth_arm, a_free_v])
 
-        # ---- constraint model (vectorized over rows) ----
+        # ---- constraint model (flat [3*nc, nv] assembly) ----
+        # Flattened row-major matrices keep the contraction axes on the
+        # minor dims (54 x nv matmuls) — the earlier per-axis einsums
+        # ("ij,ckj->ick" + transposes + a scatter for the regularizer)
+        # materialized [.., 3]-minor intermediates that TPU tiling pads to
+        # 128 lanes, making assembly the hottest part of the substep.
         active = contacts.depth > 0.0
         mu = jnp.asarray(ROW_MU, dtype)
-        # block inverse-mass application: M^-1 J^T
-        MinvJT_arm = jnp.einsum("ij,ckj->ick", Minv_arm, J[:, :, :nv_r])
+        Jf = J.reshape(3 * ncon, nv)
+        MinvJT_arm = Jf[:, :nv_r] @ Minv_arm               # [3nc, nv_r] (sym)
         if nf:
-            Jfree = J[:, :, nv_r:].reshape(ncon, 3, nf, 6)
-            inv_lin = (1.0 / m_f)[None, None, :, None]
-            inv_ang = (1.0 / I_f)[None, None, :, :]
-            MinvJT_free = jnp.concatenate(
-                [Jfree[..., :3] * inv_lin, Jfree[..., 3:] * inv_ang],
-                axis=-1).reshape(ncon, 3, nv - nv_r)
+            inv_free = jnp.concatenate(
+                [jnp.broadcast_to((1.0 / m_f)[:, None], (nf, 3)),
+                 1.0 / I_f], axis=1).reshape(-1)           # [6 nf]
             MinvJT = jnp.concatenate(
-                [MinvJT_arm.transpose(1, 2, 0),
-                 MinvJT_free], axis=2).transpose(2, 0, 1)  # [nv, nc, 3]
+                [MinvJT_arm, Jf[:, nv_r:] * inv_free[None, :]], axis=1)
         else:
             MinvJT = MinvJT_arm
-        A = jnp.einsum("cki,idl->ckdl", J, MinvJT)  # [nc,3,nc,3]
+        A = Jf @ MinvJT.T                                  # [3nc, 3nc]
 
-        vel = jnp.einsum("cki,i->ck", J, v_all)
-        a0 = jnp.einsum("cki,i->ck", J, a_smooth)
+        vel = (Jf @ v_all).reshape(ncon, 3)
+        a0 = (Jf @ a_smooth).reshape(ncon, 3)
 
         r_vio = -contacts.depth
         k_r, b_r, d_r = solver_mod.kbi(
@@ -332,20 +333,19 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
         aref = jnp.concatenate([
             (-b_r * vel[:, 0] - k_r * d_r * r_vio)[:, None],
             -b_r[:, None] * vel[:, 1:]], axis=1)                # [nc,3]
-        diag_blocks = jnp.einsum("ckcl->ckl", A)                 # [nc,3,3]
-        diagA = jnp.diagonal(diag_blocks, axis1=1, axis2=2)      # [nc,3]
+        diagA = jnp.diagonal(A).reshape(ncon, 3)
         Rr = (1 - d_r)[:, None] / jnp.maximum(d_r, 1e-6)[:, None] * diagA
         # impratio (base.xml option impratio=3): stiffer friction rows
         Rreg = Rr.at[:, 1:].set(Rr[:, 1:] / scene.impratio)
-        A = A.at[jnp.arange(ncon)[:, None], jnp.arange(3)[None, :],
-                 jnp.arange(ncon)[:, None], jnp.arange(3)[None, :]].add(Rreg)
+        A = A + jnp.diag(Rreg.reshape(-1))
 
         b0 = a0 - aref
-        f = solver_mod.solve_contacts(A, b0, mu, active, scene.solver_iters,
-                                      f0=state.warm)
+        f = solver_mod.solve_contacts(
+            A.reshape(ncon, 3, ncon, 3), b0, mu, active, scene.solver_iters,
+            f0=state.warm)
 
         # ---- constraint forces back to generalized coords ----
-        qfrc_con = jnp.einsum("cki,ck->i", J, f)
+        qfrc_con = Jf.T @ f.reshape(-1)
 
         # ---- integrate ----
         if kinematic_robot:
