@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from d3il_tpu.engine import collision
-from d3il_tpu.engine import solver as solver_mod
+from d3il_tpu.engine import contact as contact_mod
 from d3il_tpu.engine.model import (BOX, CAPSULE, CYLINDER, PLANE, SPHERE,
                                    SceneModel)
 from d3il_tpu.ops import linalg as linalg_ops
@@ -121,15 +121,6 @@ def _contact_rows(scene: SceneModel, state: SceneState, fk_cache):
     return contacts, metas
 
 
-def _point_jac_free(point, com_w, quat):
-    """[3, 6] Jacobian of a world point on a free body wrt (v_world, omega_body)."""
-    R = quat_ops.to_mat(quat)          # body->world
-    r = point - com_w
-    # columns for omega_body_j: (R e_j) x r
-    Jw = jnp.stack([jnp.cross(R[:, j], r) for j in range(3)], axis=1)  # [3,3]
-    return jnp.concatenate([jnp.eye(3, dtype=point.dtype), Jw], axis=1)
-
-
 def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
     """Build the jitted single-step function step(state, ctrl) -> state.
 
@@ -144,31 +135,8 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
     nf = scene.n_free
     nv = nv_r + 6 * nf
     h = scene.dt
-
-    # ---- static per-contact-row metadata (vectorized constraint assembly) ----
-    def _side_meta(geoms):
-        body = np.array([max(g.body, 0) for g in geoms], np.int32)
-        is_rob = np.array([1.0 if (g.body >= 0 and g.free_idx < 0) else 0.0
-                           for g in geoms])
-        fidx = np.array([max(g.free_idx, 0) for g in geoms], np.int32)
-        is_free = np.array([1.0 if g.free_idx >= 0 else 0.0 for g in geoms])
-        return body, is_rob, fidx, is_free
-
-    _rows_a, _rows_b = [], []
-    _solref, _solimp, _mu = [], [], []
-    for pair in scene.pairs:
-        for _ in range(pair.max_points):
-            _rows_a.append(pair.geom_a)
-            _rows_b.append(pair.geom_b)
-            _solref.append(pair.solref)
-            _solimp.append(pair.solimp)
-            _mu.append(pair.friction)
-    A_body, A_isrob, A_free, A_isfree = _side_meta(_rows_a)
-    B_body, B_isrob, B_free, B_isfree = _side_meta(_rows_b)
-    ROW_SOLREF = np.asarray(_solref, np.float64)   # [ncon, 2]
-    ROW_SOLIMP = np.asarray(_solimp, np.float64)   # [ncon, 5]
-    ROW_MU = np.asarray(_mu, np.float64)           # [ncon]
-    NCON = len(_mu)
+    contact_phase = contact_mod.make_contact_phase(scene) if scene.pairs \
+        else None
 
     def step(state: SceneState, ctrl: jax.Array,
              dyn=None) -> SceneState:
@@ -241,54 +209,6 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
             return state._replace(q=q_clamped, qd=qd_new)
 
         contacts, _metas = _contact_rows(scene, state, fk_cache)
-        ncon = contacts.depth.shape[0]
-
-        # contact frames [nc, 3(dirs), 3(xyz)]
-        n = contacts.normal
-        ref = jnp.where(jnp.abs(n[:, 2:3]) < 0.9,
-                        jnp.tile(jnp.array([0.0, 0, 1], dtype), (ncon, 1)),
-                        jnp.tile(jnp.array([1.0, 0, 0], dtype), (ncon, 1)))
-        t1 = jnp.cross(n, ref)
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-9)
-        t2 = jnp.cross(n, t1)
-        frames = jnp.stack([n, t1, t2], axis=1)
-
-        # ---- vectorized contact Jacobians [nc, 3, nv] ----
-        pts = contacts.pos
-
-        def side_jac(body_arr, isrob_arr, free_arr, isfree_arr):
-            bidx = jnp.asarray(body_arr)
-            jp, _ = chain_mod.point_jacobian_batch(robot, state.q, bidx, pts,
-                                                   fk_cache)
-            J_rob = jp * jnp.asarray(isrob_arr, dtype)[:, None, None]
-            J = jnp.concatenate(
-                [J_rob, jnp.zeros((ncon, 3, 6 * nf), dtype)], axis=2) \
-                if nf else J_rob
-            if nf:
-                fidx = jnp.asarray(free_arr)
-                com = state.free_pos[fidx]                       # [nc,3]
-                Rb = quat_ops.to_mat(state.free_quat)[fidx]      # [nc,3,3]
-                r = pts - com
-                # omega_body columns: (Rb e_j) x r = -skew(r) @ Rb
-                rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
-                zeros = jnp.zeros_like(rx)
-                skew_r = jnp.stack([
-                    jnp.stack([zeros, -rz, ry], axis=-1),
-                    jnp.stack([rz, zeros, -rx], axis=-1),
-                    jnp.stack([-ry, rx, zeros], axis=-1)], axis=1)
-                Jw = -skew_r @ Rb                                # [nc,3,3]
-                eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ncon, 3, 3))
-                Jf = jnp.concatenate([eye3, Jw], axis=2)         # [nc,3,6]
-                onehot = jax.nn.one_hot(fidx, nf, dtype=dtype) \
-                    * jnp.asarray(isfree_arr, dtype)[:, None]     # [nc,nf]
-                Jf_full = (onehot[:, None, :, None] * Jf[:, :, None, :]).reshape(
-                    ncon, 3, 6 * nf)
-                J = J.at[:, :, nv_r:].add(Jf_full)
-            return J
-
-        Ja = side_jac(A_body, A_isrob, A_free, A_isfree)
-        Jb = side_jac(B_body, B_isrob, B_free, B_isfree)
-        J = frames @ (Ja - Jb)                                   # [nc,3,nv]
 
         # ---- relative velocity & smooth accelerations ----
         v_free = (jnp.concatenate([state.free_linvel, state.free_angvel],
@@ -302,50 +222,12 @@ def make_step_fn(scene: SceneModel, kinematic_robot: bool = False):
             if nf else jnp.zeros(0, dtype))
         a_smooth = jnp.concatenate([a_smooth_arm, a_free_v])
 
-        # ---- constraint model (flat [3*nc, nv] assembly) ----
-        # Flattened row-major matrices keep the contraction axes on the
-        # minor dims (54 x nv matmuls) — the earlier per-axis einsums
-        # ("ij,ckj->ick" + transposes + a scatter for the regularizer)
-        # materialized [.., 3]-minor intermediates that TPU tiling pads to
-        # 128 lanes, making assembly the hottest part of the substep.
-        active = contacts.depth > 0.0
-        mu = jnp.asarray(ROW_MU, dtype)
-        Jf = J.reshape(3 * ncon, nv)
-        MinvJT_arm = Jf[:, :nv_r] @ Minv_arm               # [3nc, nv_r] (sym)
-        if nf:
-            inv_free = jnp.concatenate(
-                [jnp.broadcast_to((1.0 / m_f)[:, None], (nf, 3)),
-                 1.0 / I_f], axis=1).reshape(-1)           # [6 nf]
-            MinvJT = jnp.concatenate(
-                [MinvJT_arm, Jf[:, nv_r:] * inv_free[None, :]], axis=1)
-        else:
-            MinvJT = MinvJT_arm
-        A = Jf @ MinvJT.T                                  # [3nc, 3nc]
-
-        vel = (Jf @ v_all).reshape(ncon, 3)
-        a0 = (Jf @ a_smooth).reshape(ncon, 3)
-
-        r_vio = -contacts.depth
-        k_r, b_r, d_r = solver_mod.kbi(
-            (jnp.asarray(ROW_SOLREF[:, 0], dtype), jnp.asarray(ROW_SOLREF[:, 1], dtype)),
-            tuple(jnp.asarray(ROW_SOLIMP[:, i], dtype) for i in range(5)),
-            r_vio)
-        aref = jnp.concatenate([
-            (-b_r * vel[:, 0] - k_r * d_r * r_vio)[:, None],
-            -b_r[:, None] * vel[:, 1:]], axis=1)                # [nc,3]
-        diagA = jnp.diagonal(A).reshape(ncon, 3)
-        Rr = (1 - d_r)[:, None] / jnp.maximum(d_r, 1e-6)[:, None] * diagA
-        # impratio (base.xml option impratio=3): stiffer friction rows
-        Rreg = Rr.at[:, 1:].set(Rr[:, 1:] / scene.impratio)
-        A = A + jnp.diag(Rreg.reshape(-1))
-
-        b0 = a0 - aref
-        f = solver_mod.solve_contacts(
-            A.reshape(ncon, 3, ncon, 3), b0, mu, active, scene.solver_iters,
-            f0=state.warm)
-
-        # ---- constraint forces back to generalized coords ----
-        qfrc_con = Jf.T @ f.reshape(-1)
+        # ---- constraint phase (contact.py; Pallas kernel when batched) ----
+        axes, anchors = chain_mod._dof_frames(robot, *fk_cache)
+        f, qfrc_con = contact_phase(
+            contacts.pos, contacts.normal, contacts.depth, axes, anchors,
+            Minv_arm, v_all, a_smooth, state.free_pos, state.free_quat,
+            state.warm)
 
         # ---- integrate ----
         if kinematic_robot:
