@@ -43,6 +43,24 @@ def pick_tile(meta) -> int:
     return 16
 
 
+def _b2(x, shape):
+    """Mosaic-safe broadcast_to: expand the lane (minor-most) dim first,
+    then sublanes/major dims in a second op — Mosaic has no fused
+    "broadcast in both sublanes and lanes" (vector.broadcast rejects
+    e.g. [n,1,1] -> [n,3,128])."""
+    if x.shape == tuple(shape):
+        return x
+    if x.ndim < len(shape):
+        x = x.reshape((1,) * (len(shape) - x.ndim) + x.shape)
+    if x.shape[-1] != shape[-1] and x.shape[-2] != shape[-2]:
+        # Expand sublanes by explicit concatenation: a plain two-step
+        # broadcast (or a *1.0 multiply) gets canonicalized back into one
+        # both-minor-dims vector.broadcast, which Mosaic rejects.
+        assert x.shape[-2] == 1 and shape[-2] <= 8, (x.shape, shape)
+        x = jnp.concatenate([x] * shape[-2], axis=-2)
+    return jnp.broadcast_to(x, shape)
+
+
 def _ix(a, i, axis):
     """Static squeezing index: lowers as slice+squeeze. Mixing an integer
     index with None in one bracket routes through jnp's gather path, which
@@ -93,9 +111,14 @@ def _make_kernel(meta):
     N_ITERS = int(meta.n_iters)
 
     def kernel(pts_r, nrm_r, dep_r, axes_r, anch_r, minv_r, v_r, asm_r,
-               fpos_r, fquat_r, warm_r, rowc_r, mask_r, ish_r, oha_r, ohb_r,
-               invf_r, fout_r, qout_r):
+               fpos_r, fquat_r, warm_r, rowc_r, mask_r, ish_r, oha3_r, ohb3_r,
+               oha4_r, ohb4_r, invf_r, fout_r, qout_r):
+        # Static metadata arrives pre-shaped to its final rank (see
+        # _static_inputs): Mosaic rejects shape casts that move a 2D
+        # vector's minor dims into major positions (e.g. [ncon, nv_r] ->
+        # [ncon, nv_r, 1, 1]), so the kernel must never unsqueeze them.
         pts = pts_r[...]                                   # [ncon, 3, Bt]
+        bt = pts.shape[-1]
         nrm = nrm_r[...]
         dep = dep_r[...]                                   # [ncon, Bt]
         axes = axes_r[...]                                 # [nv_r, 3, Bt]
@@ -104,8 +127,8 @@ def _make_kernel(meta):
         v_all = v_r[...]                                   # [nv, Bt]
         a_sm = asm_r[...]
         rowc = rowc_r[...]                                 # [ncon, 9]
-        mask_rob = mask_r[...]                             # [ncon, nv_r]
-        is_h = ish_r[...]                                  # [nv_r, 1]
+        mask_rob = mask_r[...]                             # [ncon, nv_r, 1, 1]
+        is_h = ish_r[...]                                  # [1, nv_r, 1, 1]
 
         # ---- contact frames (n, t1, t2) ----
         nx, ny, nz = _ix(nrm, 0, 1), _ix(nrm, 1, 1), _ix(nrm, 2, 1)       # [ncon, Bt]
@@ -129,9 +152,9 @@ def _make_kernel(meta):
         diff = pts[:, None] - anch[None]                   # [ncon,nv_r,3,Bt]
         axb = jnp.broadcast_to(axes[None], diff.shape)
         cr = _cross(axb, diff, axis=2)
-        ish4 = is_h[None, :, :, None]                      # [1,nv_r,1,1]
-        base = ish4 * cr + (1.0 - ish4) * axb
-        base = mask_rob[:, :, None, None] * base           # [ncon,nv_r,3,Bt]
+        ish = _b2(is_h, cr.shape)
+        base = ish * cr + (1.0 - ish) * axb
+        base = _b2(mask_rob, base.shape) * base            # [ncon,nv_r,3,Bt]
         J_rob = sum(_ix(frames, c, 2)[:, :, None] * _ix(base, c, 2)[:, None]
                     for c in range(3))                     # [ncon,3,nv_r,Bt]
 
@@ -139,36 +162,44 @@ def _make_kernel(meta):
         if nf:
             fpos = fpos_r[...]                             # [nf, 3, Bt]
             Rb = _quat_to_mat_bm(fquat_r[...])             # [nf, 3, 3, Bt]
-            oh_a = oha_r[...]                              # [ncon, nf]
-            oh_b = ohb_r[...]
-            invf = invf_r[...]                             # [1, 6nf]
+            oh_a3 = oha3_r[...]                            # [ncon, nf, 1]
+            oh_b3 = ohb3_r[...]
+            oh_a4 = oha4_r[...]                            # [ncon, nf, 1, 1]
+            oh_b4 = ohb4_r[...]
+            invf = invf_r[...]                             # [1, 1, 6nf, 1]
 
-            def side(oh):
-                pos_sel = sum(oh[:, f:f + 1, None] * _ix(fpos, f, 0)[None]
+            def sel(oh, f):  # static slice of the pre-shaped onehots
+                return jax.lax.slice_in_dim(oh, f, f + 1, axis=1)
+
+            def side(oh3, oh4):
+                sh3 = (ncon, 3, bt)
+                sh4 = (ncon, 3, 3, bt)
+                pos_sel = sum(_b2(sel(oh3, f), sh3)
+                              * _b2(_ix(fpos, f, 0)[None], sh3)
                               for f in range(nf))          # [ncon,3,Bt]
-                Rb_sel = sum(oh[:, f:f + 1, None, None] * _ix(Rb, f, 0)[None]
+                Rb_sel = sum(_b2(sel(oh4, f), sh4)
+                             * _b2(_ix(Rb, f, 0)[None], sh4)
                              for f in range(nf))           # [ncon,3,3,Bt]
                 rvec = pts - pos_sel
                 # omega_body columns: Rb[:, j] x r
                 Jw = jnp.stack([_cross(_ix(Rb_sel, j, 2), rvec, axis=1)
                                 for j in range(3)], axis=2)  # [ncon,3c,3j,Bt]
-                isf = oh.sum(axis=1, keepdims=True)        # [ncon,1]
-                Jlin = isf[:, :, None, None] * frames      # [ncon,3d,3,Bt]
+                isf = oh4.sum(axis=1, keepdims=True)       # [ncon,1,1,1]
+                Jlin = _b2(isf, sh4) * frames              # [ncon,3d,3,Bt]
                 Jang = sum(_ix(frames, c, 2)[:, :, None]
                            * _ix(Jw, c, 1)[:, None]
                            for c in range(3))              # [ncon,3d,3,Bt]
                 return jnp.concatenate([Jlin, Jang], axis=2)  # [ncon,3,6,Bt]
 
-            J6a = side(oh_a)
-            J6b = side(oh_b)
+            J6a = side(oh_a3, oh_a4)
+            J6b = side(oh_b3, oh_b4)
             J_free = jnp.concatenate(
-                [oh_a[:, f:f + 1, None, None] * J6a
-                 - oh_b[:, f:f + 1, None, None] * J6b
+                [_b2(sel(oh_a4, f), J6a.shape) * J6a
+                 - _b2(sel(oh_b4, f), J6b.shape) * J6b
                  for f in range(nf)], axis=2)              # [ncon,3,6nf,Bt]
             J = jnp.concatenate([J_rob, J_free], axis=2)
         else:
             J = J_rob                                      # [ncon,3,nv,Bt]
-        bt = J.shape[-1]
         # Everything below stays in "row-triplet" 4D/3D layout
         # ([ncon, 3, ...]) — no [3*ncon] flattening: those reshapes merge an
         # unrolled dim into the sublane dim, which Mosaic lowers as >2D
@@ -179,8 +210,7 @@ def _make_kernel(meta):
                      for m in range(nv_r))                 # [ncon,3,nv_r,Bt]
         if nf:
             MinvJT = jnp.concatenate(
-                [MJ_arm, J[:, :, nv_r:] * invf[None, :, :, None]],
-                axis=2)
+                [MJ_arm, J[:, :, nv_r:] * invf], axis=2)
         else:
             MinvJT = MJ_arm                                # [ncon,3,nv,Bt]
 
@@ -295,16 +325,19 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
         free_quat = jnp.zeros((B, 1, 4), jnp.float32)
     batched = [to_bm(a) for a in (pts, normal, depth, axes, anchors, Minv_arm,
                                   v_all, a_smooth, free_pos, free_quat, warm)]
+    oh_a = meta.onehot_a if nf else np.zeros((meta.ncon, 1))
+    oh_b = meta.onehot_b if nf else np.zeros((meta.ncon, 1))
+    inv_flat = meta.inv_free.reshape(-1) if nf else np.zeros(1)
+    # Pre-shaped to final kernel rank: Mosaic can't unsqueeze minor dims.
     static = [
         jnp.asarray(_row_const(meta)),
-        jnp.asarray(meta.mask_rob, jnp.float32),
-        jnp.asarray(meta.is_hinge, jnp.float32)[:, None],
-        jnp.asarray(meta.onehot_a if nf else np.zeros((meta.ncon, 1)),
-                    jnp.float32),
-        jnp.asarray(meta.onehot_b if nf else np.zeros((meta.ncon, 1)),
-                    jnp.float32),
-        jnp.asarray(meta.inv_free.reshape(-1) if nf else np.zeros(1),
-                    jnp.float32)[None, :],
+        jnp.asarray(meta.mask_rob, jnp.float32)[:, :, None, None],
+        jnp.asarray(meta.is_hinge, jnp.float32)[None, :, None, None],
+        jnp.asarray(oh_a, jnp.float32)[:, :, None],
+        jnp.asarray(oh_b, jnp.float32)[:, :, None],
+        jnp.asarray(oh_a, jnp.float32)[:, :, None, None],
+        jnp.asarray(oh_b, jnp.float32)[:, :, None, None],
+        jnp.asarray(inv_flat, jnp.float32)[None, None, :, None],
     ]
 
     def bspec(x):
