@@ -48,7 +48,8 @@ def make_optimizer(cfg: TrainConfig):
 def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
         val_data: ds.TrajectoryData | None, cfg: TrainConfig, key,
         val_metric_fn: Callable | None = None, log_every: int = 0,
-        callback=None, mesh=None):
+        callback=None, mesh=None, checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0):
     """Generic training loop, data-parallel over the device mesh.
 
     loss_fn(params, obs_window [B,W,Do], act_window [B,W,Da], key) -> scalar.
@@ -60,6 +61,12 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
     is constrained to the mesh's "dp" axis inside the jitted step, params and
     optimizer state are replicated, and XLA partitions the loss/grad
     computation and inserts the gradient all-reduce over ICI.
+
+    Mid-run checkpointing (SURVEY §5 — the reference saves weights only,
+    base_agent.py:138-146, and cannot resume): with `checkpoint_dir` +
+    `checkpoint_every > 0`, the FULL train state (params, EMA params,
+    optimizer state, epoch, RNG key) is orbax-saved every N epochs, and a
+    later fit() with the same checkpoint_dir resumes from the last one.
     """
     from d3il_tpu.parallel import mesh as pmesh
 
@@ -108,7 +115,25 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
     best_params, best_val = params, np.inf
     ema_params = params
     history = []
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if checkpoint_dir and os.path.isdir(os.path.join(checkpoint_dir, "state")):
+        st = load_checkpoint(os.path.join(checkpoint_dir, "state"))
+        params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+        ema_params = jax.tree_util.tree_map(jnp.asarray, st["ema_params"])
+        opt_state = jax.tree_util.tree_map(
+            jnp.asarray, jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state),
+                jax.tree_util.tree_leaves(st["opt_state"])))
+        best_params = jax.tree_util.tree_map(jnp.asarray, st["best_params"])
+        best_val = float(st["best_val"])
+        key = jnp.asarray(st["key"])
+        start_epoch = int(st["epoch"]) + 1
+        if mesh is not None:
+            params = pmesh.replicate(mesh, params)
+            ema_params = pmesh.replicate(mesh, ema_params)
+            opt_state = pmesh.replicate(mesh, opt_state)
+        print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+    for epoch in range(start_epoch, cfg.epochs):
         key, k1, k2 = jax.random.split(key, 3)
         params, ema_params, opt_state, train_loss = train_epoch(
             params, ema_params, opt_state, k1)
@@ -125,6 +150,14 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
                   + (f" val {rec.get('val_loss'):.5f}" if "val_loss" in rec else ""))
         if callback is not None:
             callback(epoch, params, rec)
+        if checkpoint_dir and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            save_checkpoint(os.path.join(checkpoint_dir, "state"), params,
+                            extra={"ema_params": ema_params,
+                                   "opt_state": opt_state,
+                                   "best_params": best_params,
+                                   "best_val": best_val,
+                                   "epoch": epoch, "key": key})
     final_params = ema_params if ema is not None else params
     if val_data is None:
         best_params = final_params

@@ -148,9 +148,98 @@ def sample_dpmpp_2s_ancestral(denoise, a, sigmas, key):
     return a
 
 
+def _ancestral_sigmas(s, sn):
+    var_up = sn ** 2 * (s ** 2 - sn ** 2) / jnp.maximum(s ** 2, 1e-12)
+    sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(sn ** 2 - sigma_up ** 2, 0.0))
+    return sigma_up, sigma_down
+
+
+def sample_dpm_2(denoise, a, sigmas, key):
+    """DPM-Solver-2: midpoint in log-sigma space (gc_sampling.py sample_dpm_2);
+    falls back to euler on the final (sigma_next = 0) step."""
+    def body(a, i):
+        s, sn = sigmas[i], sigmas[i + 1]
+        d = _to_d(a, s, denoise(a, s))
+        s_mid = jnp.exp(0.5 * (jnp.log(jnp.maximum(s, 1e-12))
+                               + jnp.log(jnp.maximum(sn, 1e-12))))
+        a_2 = a + d * (s_mid - s)
+        d2 = _to_d(a_2, s_mid, denoise(a_2, s_mid))
+        a_mid = a + d2 * (sn - s)
+        a_eul = a + d * (sn - s)
+        return jnp.where(sn > 1e-10, a_mid, a_eul), None
+    a, _ = jax.lax.scan(body, a, jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_dpm_2_ancestral(denoise, a, sigmas, key):
+    """Ancestral DPM-Solver-2 (gc_sampling.py sample_dpm_2_ancestral)."""
+    def body(carry, i):
+        a, key = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        sigma_up, sigma_down = _ancestral_sigmas(s, sn)
+        d = _to_d(a, s, denoise(a, s))
+        s_mid = jnp.exp(0.5 * (jnp.log(jnp.maximum(s, 1e-12))
+                               + jnp.log(jnp.maximum(sigma_down, 1e-12))))
+        a_2 = a + d * (s_mid - s)
+        d2 = _to_d(a_2, s_mid, denoise(a_2, s_mid))
+        a_new = a + d2 * (sigma_down - s)
+        a_eul = a + d * (sigma_down - s)
+        a_new = jnp.where(sigma_down > 1e-10, a_new, a_eul)
+        key, k = jax.random.split(key)
+        a_new = a_new + jax.random.normal(k, a.shape) * sigma_up
+        return (a_new, key), None
+    (a, _), _ = jax.lax.scan(body, (a, key), jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_dpmpp_2s(denoise, a, sigmas, key):
+    """DPM-Solver++(2S), deterministic (gc_sampling.py sample_dpmpp_2s)."""
+    def body(a, i):
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        t = -jnp.log(jnp.maximum(s, 1e-12))
+        tn = -jnp.log(jnp.maximum(sn, 1e-12))
+        h = tn - t
+        s_mid = jnp.exp(-(t + 0.5 * h))
+        a_2 = (s_mid / jnp.maximum(s, 1e-12)) * a - jnp.expm1(-0.5 * h) * den
+        den2 = denoise(a_2, s_mid)
+        a_new = (sn / jnp.maximum(s, 1e-12)) * a - jnp.expm1(-h) * den2
+        a_eul = a + _to_d(a, s, den) * (sn - s)
+        return jnp.where(sn > 1e-10, a_new, a_eul), None
+    a, _ = jax.lax.scan(body, a, jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def sample_dpmpp_2m(denoise, a, sigmas, key):
+    """DPM-Solver++(2M): linear multistep over the previous denoised estimate
+    (gc_sampling.py sample_dpmpp_2m); first step degenerates to DDIM."""
+    def body(carry, i):
+        a, old_den, h_last = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        t = -jnp.log(jnp.maximum(s, 1e-12))
+        tn = -jnp.log(jnp.maximum(sn, 1e-12))
+        h = tn - t
+        r = h_last / jnp.maximum(h, 1e-12)
+        den_p = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * old_den
+        use_ms = (h_last > 0) & (sn > 1e-10)
+        den_use = jnp.where(use_ms, den_p, den)
+        a_new = (sn / jnp.maximum(s, 1e-12)) * a - jnp.expm1(-h) * den_use
+        a_ddim = den + (sn / jnp.maximum(s, 1e-12)) * (a - den)
+        a_new = jnp.where(sn > 1e-10, a_new, a_ddim)
+        return (a_new, den, h), None
+    (a, _, _), _ = jax.lax.scan(
+        body, (a, jnp.zeros_like(a), jnp.float32(0.0)),
+        jnp.arange(len(sigmas) - 1))
+    return a
+
+
 SAMPLERS = {"euler": sample_euler, "ddim": sample_ddim,
             "euler_ancestral": sample_euler_ancestral, "heun": sample_heun,
-            "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral}
+            "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
+            "dpm_2": sample_dpm_2, "dpm_2_ancestral": sample_dpm_2_ancestral,
+            "dpmpp_2s": sample_dpmpp_2s, "dpmpp_2m": sample_dpmpp_2m}
 
 
 @dataclass

@@ -91,6 +91,11 @@ class PushExpertState(NamedTuple):
 
 PUSH_APPROACH = 0.065
 PUSH_STOP = 0.032
+# Commanded indentation while pushing: the rod surface sits 7 mm inside the
+# box face (box half 0.03 + rod radius 0.01 = 0.04 contact distance). Deeper
+# setpoints (the old 0.02 = 2 cm indent) bury the capsule core in the box,
+# where the contact manifold degenerates to the top face and the push stalls.
+PUSH_DEPTH = 0.033
 
 
 def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active):
@@ -134,10 +139,21 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     approach_pt = bpos - u * PUSH_APPROACH
     near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
     phase = jnp.where(stage_done, 0, jnp.where(near, 1, st.phase))
+    # rod out of pushing position (wrong side of the box / off the push
+    # line, e.g. after the box slipped sideways): re-approach
+    rel = tcp_xy - bpos
+    along = jnp.dot(rel, u)
+    perp = jnp.linalg.norm(rel - along * u)
+    bad = (phase == 1) & ((along > -0.005) | (perp > 0.05))
+    phase = jnp.where(bad & ~near, 0, phase)
 
-    others = jnp.ones(boxes_xy.shape[0], bool).at[b].set(False)
+    # route around EVERY box, including the target box itself — the straight
+    # line to the approach point passes through it, and an unrouted approach
+    # plows it away from the target (the |ob-tcp| < L term releases the
+    # detour once the rod is closer to the approach point than to the box)
+    others = jnp.ones(boxes_xy.shape[0], bool)
     nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others)
-    push_pt = bpos - u * 0.02
+    push_pt = bpos - u * PUSH_DEPTH
     nxt_push = _limit_lead(_step_toward(des_xy, push_pt, 0.006), tcp_xy, 0.04)
 
     nxt = jnp.where(phase == 1, nxt_push, nxt_app)
@@ -221,12 +237,104 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
     near_edge = (phase == 3) & (bpos[1] > 0.12)
     pstep = jnp.where(near_edge, 0.010, 0.006)
     lead = jnp.where(near_edge, 0.05, 0.04)
-    push_pt = bpos - u * 0.02
+    push_pt = bpos - u * PUSH_DEPTH
     nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
     in_push = (phase == 1) | (phase == 3)
     nxt = jnp.where(in_push, nxt_push, nxt_app)
     delta = jnp.where(finished | box_done, jnp.zeros(2), nxt - des_xy)
     return SortingExpertState(stage=stage2, phase=phase, prev_b=b), delta
+
+
+# ---------------------------------------------------------------- inserting
+
+class InsertingExpertState(NamedTuple):
+    stage: jax.Array   # index into `order` (0..2; 3 = finished)
+    wp: jax.Array      # waypoint index along the current box's route
+    phase: jax.Array   # 0 approach, 1 push, 2 retreat
+
+
+# Per-target push routes (box i -> target i, gate_insertion.py targets at
+# gate_insertion_objects.py:17-24). All boxes spawn below y<=0.05
+# (CONTEXT_SPACES); the first leg threads the gap between the maze_3/maze_4
+# diagonals on the centerline, the second stages before the chamber gate, the
+# third is the slow gate insertion (left/right chambers admit the box through
+# the lateral gap between maze_5/13 resp. maze_6/14 at y~0.276; the middle
+# chamber opens from below between the maze_15/16 funnel walls).
+INSERT_ROUTES = np.array([
+    [[0.525, 0.11], [0.465, 0.276], [0.3575, 0.276]],   # left chamber
+    [[0.525, 0.11], [0.525, 0.30], [0.525, 0.4535]],    # middle chamber
+    [[0.525, 0.11], [0.585, 0.276], [0.6925, 0.276]],   # right chamber
+], np.float32)
+
+# Rod pull-back point after each insertion (the rod must back out of the
+# gate before crossing to the next box, or it drags along the maze walls).
+INSERT_RETREATS = np.array([
+    [0.47, 0.23], [0.525, 0.30], [0.58, 0.23]], np.float32)
+
+
+def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
+                          boxes_pos, visited, order):
+    """One control step of the scripted inserting expert.
+
+    order [3]: permutation of box indices (= insertion order, defining the
+    behavior mode); visited [3] bool from the env state (box at target).
+    Each box is pushed along INSERT_ROUTES[box] with continuous aim
+    correction; the env's own visited flag ends a stage, so the gate walls
+    (which stop the box inside the 1 cm success ball) do the fine placement."""
+    routes = jnp.asarray(INSERT_ROUTES)
+    retreats = jnp.asarray(INSERT_RETREATS)
+    n = 3
+    stage = jnp.minimum(st.stage, n - 1)
+    b = order[stage]
+    finished = st.stage >= n
+
+    # current box placed -> back the rod out, then advance to the next box
+    phase = jnp.where(visited[b] & (st.phase != 2), 2, st.phase)
+    ret_pt = retreats[b]
+    ret_done = (phase == 2) & (jnp.linalg.norm(tcp_xy - ret_pt) < 0.03)
+    stage2 = jnp.minimum(st.stage + ret_done.astype(st.stage.dtype), n)
+    wp_i = jnp.where(ret_done, 0, st.wp)
+    phase = jnp.where(ret_done, 0, phase)
+    stage_c = jnp.minimum(stage2, n - 1)
+    b = order[stage_c]
+    bpos = boxes_pos[b, :2]
+
+    # waypoint advance (the final route point holds until `visited` flips)
+    wp = routes[b, wp_i]
+    adv = (wp_i < 2) & (jnp.linalg.norm(bpos - wp) < 0.035)
+    wp_i = wp_i + adv.astype(wp_i.dtype)
+    phase = jnp.where(adv & (phase != 2), 0, phase)
+    wp = routes[b, wp_i]
+
+    to_wp = wp - bpos
+    u = to_wp / (jnp.linalg.norm(to_wp) + 1e-9)
+    approach_pt = bpos - u * PUSH_APPROACH
+    near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
+    phase = jnp.where((phase == 0) & near, 1, phase)
+    # rod fell out of pushing position (wrong side / too far off the push
+    # line, e.g. after a direction change): re-approach
+    rel = tcp_xy - bpos
+    along = jnp.dot(rel, u)
+    perp = jnp.linalg.norm(rel - along * u)
+    bad = (phase == 1) & ((along > -0.005) | (perp > 0.05))
+    phase = jnp.where(bad, 0, phase)
+
+    final = wp_i >= 2
+    pstep = jnp.where(final, 0.004, 0.006)
+    lead = jnp.where(final, 0.03, 0.04)
+    push_pt = bpos - u * PUSH_DEPTH
+    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
+    # avoid every unplaced box on approach, including the target box (see
+    # pushing_expert_step: an unrouted approach plows the box off its route)
+    others = ~visited
+    nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_pos[:, :2],
+                            others)
+    nxt_ret = _limit_lead(_step_toward(des_xy, ret_pt, 0.008), tcp_xy, 0.05)
+
+    nxt = jnp.where(phase == 2, nxt_ret,
+                    jnp.where(phase == 1, nxt_push, nxt_app))
+    delta = jnp.where(finished, jnp.zeros(2), nxt - des_xy)
+    return InsertingExpertState(stage=stage2, wp=wp_i, phase=phase), delta
 
 
 # ---------------------------------------------------------------- aligning
@@ -515,6 +623,38 @@ def make_sorting_runner(params, chunk_len: int = CHUNK):
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = sorting_expert_step(es, des, tcp[:2],
                                          state.scene.free_pos, order, half)
+        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        log = (jnp.concatenate([des2, fixed_z]), tcp,
+               state.scene.free_pos, state.scene.free_quat)
+        action = jnp.concatenate([des2, fixed_z,
+                                  jnp.array([0.0, 1.0, 0.0, 0.0])])
+        ns, res = env.step(params, state, action)
+        state2 = _freeze_env(done, ns, state)
+        es2 = _freeze_env(done, es2, es)
+        return (EpCarry(state2, es2, des2, done | res.done),
+                (order, fixed_z)), log, res.done
+
+    return init, _chunk_fn(step_once, chunk_len)
+
+
+def make_inserting_runner(params, chunk_len: int = CHUNK):
+    from d3il_tpu.envs import inserting as env
+
+    def init(ctx):
+        state = env.reset(params, ctx)
+        tcp0, _ = params.tcp_pose(state.scene)
+        es0 = InsertingExpertState(stage=jnp.array(0, jnp.int32),
+                                   wp=jnp.array(0, jnp.int32),
+                                   phase=jnp.array(0, jnp.int32))
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+
+    def step_once(cw):
+        carry, (order, fixed_z) = cw
+        state, es, des, done = carry
+        tcp, _ = params.tcp_pose(state.scene)
+        es2, delta = inserting_expert_step(es, des, tcp[:2],
+                                           state.scene.free_pos,
+                                           state.visited, order)
         des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
         log = (jnp.concatenate([des2, fixed_z]), tcp,
                state.scene.free_pos, state.scene.free_quat)

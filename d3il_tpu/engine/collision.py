@@ -93,13 +93,19 @@ def sphere_box(sp_pos, radius, box_pos, box_quat, half_size):
 
 
 def capsule_box(cap_pos, cap_quat, radius, half_len, box_pos, box_quat,
-                half_size, iters: int = 6):
-    """Capsule (A) vs box (B): up to 2 contacts (one per capsule segment half).
+                half_size, iters: int = 4, n_seed: int = 9):
+    """Capsule (A) vs box (B): up to 2 contacts.
 
-    Closest point between the capsule's core segment and the box via a damped
-    fixed-point iteration in the box frame (converges for the shallow contacts
-    a manipulation scene produces); then sphere-box at the two witness points.
-    """
+    Witness points on the capsule core segment are found by sampling the
+    penetration depth along the segment and keeping the two deepest samples,
+    refined by a damped closest-point fixed-point iteration; then sphere-box
+    at each witness. Depth-based seeding (rather than pure closest-point
+    iteration) matters when the segment passes deep inside the box: a
+    closest-point iteration converges to the box surface crossing, whose
+    nearest face is the crossed (e.g. top) face, flipping the contact normal
+    vertical — a rod pressed 2 cm into a box then pins it to the table
+    instead of pushing it. The deepest interior sample sits at the box's
+    mid-plane where the nearest face is the lateral one being pushed."""
     dtype = cap_pos.dtype
     axis_w = quat_ops.rotate(cap_quat, jnp.array([0.0, 0.0, 1.0], dtype))
     # segment in box frame
@@ -111,13 +117,24 @@ def capsule_box(cap_pos, cap_quat, radius, half_len, box_pos, box_quat,
     def closest_t(c):
         return jnp.clip(jnp.dot(c - p0, seg) / seg_len2, 0.0, 1.0)
 
-    # two seeds (segment thirds) so both ends of a deep lateral contact resolve
-    ts = jnp.array([0.25, 0.75], dtype)
+    # depth estimate at n_seed samples along the segment
+    ts0 = jnp.linspace(0.0, 1.0, n_seed, dtype=dtype)
+    pts0 = p0[None] + ts0[:, None] * seg[None]
+    cs0 = jnp.clip(pts0, -half_size, half_size)
+    dist_out = jnp.linalg.norm(pts0 - cs0, axis=-1)
+    inside = dist_out < 1e-9
+    face_dist = jnp.min(half_size[None] - jnp.abs(pts0), axis=-1)
+    score = jnp.where(inside, radius + face_dist, radius - dist_out)
+    i1 = jnp.argmax(score)
+    i2 = jnp.argmax(score.at[i1].set(-jnp.inf))
+    ts = jnp.stack([ts0[i1], ts0[i2]])
 
     def body(_, ts):
         pts = p0[None] + ts[:, None] * seg[None]
         cs = jnp.clip(pts, -half_size, half_size)
-        return jax.vmap(closest_t)(cs)
+        # interior witnesses are already depth-optimal seeds: keep them
+        stay = jnp.all(pts == cs, axis=-1)
+        return jnp.where(stay, ts, jax.vmap(closest_t)(cs))
 
     ts = jax.lax.fori_loop(0, iters, body, ts)
     pts = p0[None] + ts[:, None] * seg[None]  # witness points on segment, box frame

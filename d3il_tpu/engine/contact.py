@@ -300,8 +300,14 @@ def make_contact_phase(scene):
         impl = _FORCE_IMPL
         if impl is None:
             tile = contact_kernel.pick_tile(meta)
+            # Mosaic requires the lane (batch) block dim to be a multiple of
+            # 128 or the full padded array: a sub-128 tile is only legal when
+            # it covers the whole batch in one grid step. Large scenes whose
+            # VMEM working set forces tile < 128 at large batch fall back to
+            # the vmapped jnp path.
+            legal_tile = tile >= 128 or axis_size <= tile
             use_pallas = (jax.default_backend() == "tpu"
-                          and axis_size >= 64 and tile >= 32)
+                          and axis_size >= 64 and tile >= 32 and legal_tile)
             impl = "pallas" if use_pallas else "jnp"
         if impl == "pallas":
             outs = contact_kernel.phase_batched(

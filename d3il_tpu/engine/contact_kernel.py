@@ -56,8 +56,14 @@ def _b2(x, shape):
         # Expand sublanes by explicit concatenation: a plain two-step
         # broadcast (or a *1.0 multiply) gets canonicalized back into one
         # both-minor-dims vector.broadcast, which Mosaic rejects.
-        assert x.shape[-2] == 1 and shape[-2] <= 8, (x.shape, shape)
-        x = jnp.concatenate([x] * shape[-2], axis=-2)
+        if x.shape[-2] != 1:
+            raise NotImplementedError(
+                "_b2 can only expand a unit sublane dim by concatenation "
+                f"(Mosaic restriction), got {x.shape} -> {tuple(shape)}")
+        # chunked concat keeps each concatenate <= 8 operands (Mosaic limit)
+        while x.shape[-2] < shape[-2]:
+            reps = min(8, shape[-2] // x.shape[-2])
+            x = jnp.concatenate([x] * reps, axis=-2)
     return jnp.broadcast_to(x, shape)
 
 
@@ -310,6 +316,11 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
     B = pts.shape[0]
     bt = pick_tile(meta)
     B_pad = -(-B // bt) * bt
+    if bt < 128 and B_pad != bt:
+        # Mosaic: lane-dim blocks must be 128-multiples or the full array
+        raise ValueError(
+            f"contact kernel tile {bt} (<128, VMEM-bounded) only supports a "
+            f"single-block batch; got B={B}. Use the jnp contact path.")
     nf = meta.nf
 
     def to_bm(x):
@@ -328,15 +339,18 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
     oh_a = meta.onehot_a if nf else np.zeros((meta.ncon, 1))
     oh_b = meta.onehot_b if nf else np.zeros((meta.ncon, 1))
     inv_flat = meta.inv_free.reshape(-1) if nf else np.zeros(1)
-    # Pre-shaped to final kernel rank: Mosaic can't unsqueeze minor dims.
+    # Pre-shaped to final kernel rank: Mosaic can't unsqueeze minor dims, so
+    # the onehots ship at both rank 3 and rank 4, derived from one local each.
+    oh_a_arr = jnp.asarray(oh_a, jnp.float32)
+    oh_b_arr = jnp.asarray(oh_b, jnp.float32)
     static = [
         jnp.asarray(_row_const(meta)),
         jnp.asarray(meta.mask_rob, jnp.float32)[:, :, None, None],
         jnp.asarray(meta.is_hinge, jnp.float32)[None, :, None, None],
-        jnp.asarray(oh_a, jnp.float32)[:, :, None],
-        jnp.asarray(oh_b, jnp.float32)[:, :, None],
-        jnp.asarray(oh_a, jnp.float32)[:, :, None, None],
-        jnp.asarray(oh_b, jnp.float32)[:, :, None, None],
+        oh_a_arr[:, :, None],
+        oh_b_arr[:, :, None],
+        oh_a_arr[:, :, None, None],
+        oh_b_arr[:, :, None, None],
         jnp.asarray(inv_flat, jnp.float32)[None, None, :, None],
     ]
 

@@ -130,52 +130,6 @@ def get_reward(params, state) -> jax.Array:
     return -(d_rb + rr)
 
 
-def make_render_obs(params: PushingParams, res: int = 96):
-    """Vision pipeline: reconstruct the camera views from a state observation
-    (robot xy + per-box xy/tan-yaw) — the renderable information content of
-    the reference's bp/inhand camera images (sorting.py-style vision obs).
-
-    Returns render_obs(obs [8]) -> (bp_img, inhand_img, low_dim[2])."""
-    from d3il_tpu.vision import renderer as R
-
-    t1 = jnp.asarray(scenes.PUSHING_TARGET_1, jnp.float32)
-    t2 = jnp.asarray(scenes.PUSHING_TARGET_2, jnp.float32)
-
-    def render_obs(obs):
-        rob_xy = obs[:2]
-        b1_xy, y1 = obs[2:4], jnp.arctan(obs[4])
-        b2_xy, y2 = obs[5:7], jnp.arctan(obs[7])
-
-        def boxq(yaw):
-            return quat_ops.from_euler(jnp.array([0.0, 0, 1]) * yaw)
-
-        z = jnp.asarray(0.011, jnp.float32)
-        free_pos = jnp.stack([
-            jnp.concatenate([b1_xy, z[None]]),
-            jnp.concatenate([b2_xy, z[None]])])
-        free_quat = jnp.stack([boxq(y1), boxq(y2)])
-        statics_pos = jnp.stack([jnp.concatenate([t1[:2], jnp.array([-0.018])]),
-                                 jnp.concatenate([t2[:2], jnp.array([-0.018])])])
-        geoms = R.scene_geoms(
-            free_pos, free_quat,
-            free_half=[[0.03, 0.03, 0.03]] * 2,
-            free_colors=[[1.0, 0, 0], [0, 1.0, 0]],
-            static_pos=statics_pos,
-            static_quat=jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1)),
-            static_half=[[0.05, 0.05, 0.002]] * 2,
-            static_colors=[[1.0, 0.4, 0.4], [0.4, 1.0, 0.4]],
-            rod_pos=jnp.concatenate([rob_xy, jnp.array([0.15])]),
-            rod_quat=jnp.array([1.0, 0, 0, 0]))
-        bp = R.render(geoms, jnp.asarray(R.BP_CAM_POS, jnp.float32),
-                      jnp.asarray(R.BP_CAM_QUAT, jnp.float32), R.BP_CAM_FOVY,
-                      res=res)
-        # inhand cam: above the rod looking down
-        ih_pos = jnp.concatenate([rob_xy, jnp.array([0.45])])
-        ih_quat = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)  # looking -z
-        ih = R.render(geoms, ih_pos, ih_quat, R.INHAND_CAM_FOVY, res=res)
-        return bp, ih, rob_xy
-
-    return render_obs
 
 
 def step(params: PushingParams, state: PushingState, action: jax.Array):

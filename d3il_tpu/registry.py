@@ -32,6 +32,10 @@ class TaskSpec:
     max_steps: int
     params_kw: dict = field(default_factory=dict)
     sim_kw: dict = field(default_factory=dict)
+    # Tuned per-task training/eval defaults (the replacement for the
+    # reference's configs/<task>_config.yaml hyperparameters), applied by
+    # run_train.make_args before explicit overrides.
+    train_kw: dict = field(default_factory=dict)
 
     def env(self):
         return importlib.import_module(self.env_module)
@@ -49,33 +53,45 @@ class TaskSpec:
 
 
 TASKS: dict[str, TaskSpec] = {
+    # Workloads follow the reference benchmark scripts (scripts/<task>/*.sh):
+    # avoiding 480 trajs; pushing 30 ctx x 16; aligning 60 x 8; sorting
+    # 60 x 8-18; stacking 60 x 18. Epochs/batch mirror configs/*_config.yaml
+    # magnitudes scaled to the generated datasets.
     "avoiding": TaskSpec(
         "avoiding", "d3il_tpu.envs.avoiding", "AvoidingParams",
-        ds.assemble_avoiding, 4, 2, "AvoidingSim", "rod", 250),
+        ds.assemble_avoiding, 4, 2, "AvoidingSim", "rod", 250,
+        train_kw={"epochs": 80, "n_trajs": 480}),
     "pushing": TaskSpec(
         "pushing", "d3il_tpu.envs.pushing", "PushingParams",
-        ds.assemble_pushing, 10, 2, "PushingSim", "rod", 400),
+        ds.assemble_pushing, 10, 2, "PushingSim", "rod", 400,
+        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16}),
     "aligning": TaskSpec(
         "aligning", "d3il_tpu.envs.aligning", "AligningParams",
-        ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400),
+        ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400,
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 8}),
     "sorting_2": TaskSpec(
         "sorting_2", "d3il_tpu.envs.sorting", "SortingParams",
         lambda ep: ds.assemble_sorting(ep, 2), 10, 2, "SortingSim", "rod",
-        700, params_kw={"num_boxes": 2}, sim_kw={"num_boxes": 2}),
+        700, params_kw={"num_boxes": 2}, sim_kw={"num_boxes": 2},
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 8}),
     "sorting_4": TaskSpec(
         "sorting_4", "d3il_tpu.envs.sorting", "SortingParams",
         lambda ep: ds.assemble_sorting(ep, 4), 16, 2, "SortingSim", "rod",
-        700, params_kw={"num_boxes": 4}, sim_kw={"num_boxes": 4}),
+        700, params_kw={"num_boxes": 4}, sim_kw={"num_boxes": 4},
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 8}),
     "sorting_6": TaskSpec(
         "sorting_6", "d3il_tpu.envs.sorting", "SortingParams",
         lambda ep: ds.assemble_sorting(ep, 6), 22, 2, "SortingSim", "rod",
-        700, params_kw={"num_boxes": 6}, sim_kw={"num_boxes": 6}),
+        700, params_kw={"num_boxes": 6}, sim_kw={"num_boxes": 6},
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 8}),
     "stacking": TaskSpec(
         "stacking", "d3il_tpu.envs.stacking", "StackingParams",
-        ds.assemble_stacking, 20, 8, "StackingSim", "joint", 1000),
+        ds.assemble_stacking, 20, 8, "StackingSim", "joint", 1000,
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 18}),
     "inserting": TaskSpec(
         "inserting", "d3il_tpu.envs.inserting", "InsertingParams",
-        ds.assemble_inserting, 13, 2, "InsertingSim", "rod", 2000),
+        ds.assemble_inserting, 13, 2, "InsertingSim", "rod", 2000,
+        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 8}),
 }
 
 
@@ -86,6 +102,7 @@ class AgentSpec:
     cls: str
     ema_decay: float | None = None   # EMA tracking during fit (ddpm_agent.py:66-70)
     needs_actions: bool = False      # k-means style fit over all demo actions
+    vision: bool = False             # needs a task render_fn (vision/taskviews)
     defaults: dict = field(default_factory=dict)
 
     def make(self, key, obs_dim, act_dim, scaler, train_actions_scaled=None,
@@ -116,6 +133,15 @@ AGENTS: dict[str, AgentSpec] = {
                              "DDPMEncDecAgent", ema_decay=0.995),
     "beso": AgentSpec("beso", "d3il_tpu.agents.beso", "BesoAgent",
                       ema_decay=0.995),
+    # vision variants: shared MultiImageObsEncoder + method heads, rendering
+    # on device from state observations (agents/vision.py)
+    "bc_vision": AgentSpec("bc_vision", "d3il_tpu.agents.vision",
+                           "VisionBCAgent", vision=True),
+    "ddpm_vision": AgentSpec("ddpm_vision", "d3il_tpu.agents.vision",
+                             "VisionDDPMAgent", ema_decay=0.995, vision=True),
+    "bet_mlp_vision": AgentSpec("bet_mlp_vision", "d3il_tpu.agents.vision",
+                                "VisionBeTAgent", needs_actions=True,
+                                vision=True),
 }
 
 

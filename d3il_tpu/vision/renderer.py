@@ -75,10 +75,14 @@ def _ray_box(o, d, pos, quat, half):
     return t, n_world
 
 
-def render(geoms: RenderGeom, cam_pos, cam_quat, fovy: float, res: int = 96,
-           light_dir=(-0.3, 0.3, -0.9), bg=(0.26, 0.58, 0.51),
-           floor_z: float = -0.019, floor_color=(0.8, 0.655, 0.45)):
-    """Render one camera view -> [res, res, 3] float32 in [0,1]."""
+def render_rgbds(geoms: RenderGeom, cam_pos, cam_quat, fovy: float,
+                 res: int = 96, light_dir=(-0.3, 0.3, -0.9),
+                 bg=(0.26, 0.58, 0.51), floor_z: float = -0.019,
+                 floor_color=(0.8, 0.655, 0.45)):
+    """Render one camera view with all channels (Camera.py:120-178 parity):
+    returns (rgb [res,res,3] in [0,1], depth [res,res] ray distance in
+    meters (inf where no hit), seg [res,res] int32 geom index, G = floor,
+    -1 = background)."""
     o, d = camera_rays(cam_pos, cam_quat, fovy, res)
     R = o.shape[0]
 
@@ -106,8 +110,29 @@ def render(geoms: RenderGeom, cam_pos, cam_quat, fovy: float, res: int = 96,
     lam = jnp.clip(-jnp.sum(n_best * ld[None], axis=-1), 0.0, 1.0)
     shade = 0.55 + 0.45 * lam
     img = c_best * shade[:, None]
-    img = jnp.where(jnp.isfinite(t_best)[:, None], img, jnp.asarray(bg)[None])
-    return img.reshape(res, res, 3)
+    hit = jnp.isfinite(t_best)
+    img = jnp.where(hit[:, None], img, jnp.asarray(bg)[None])
+    seg = jnp.where(hit, best, -1).astype(jnp.int32)
+    return (img.reshape(res, res, 3), t_best.reshape(res, res),
+            seg.reshape(res, res))
+
+
+def render(geoms: RenderGeom, cam_pos, cam_quat, fovy: float, res: int = 96,
+           **kw):
+    """RGB-only view -> [res, res, 3] float32 in [0,1] (XLA dead-code
+    eliminates the unused depth/seg channels under jit)."""
+    rgb, _, _ = render_rgbds(geoms, cam_pos, cam_quat, fovy, res, **kw)
+    return rgb
+
+
+def point_cloud(depth, cam_pos, cam_quat, fovy: float):
+    """Depth image -> world-frame point cloud [res*res, 3]
+    (Camera.calc_point_cloud, core/Camera.py:160-178: unproject via the
+    pinhole intrinsics, here directly along the stored camera rays)."""
+    res = depth.shape[0]
+    o, d = camera_rays(cam_pos, cam_quat, fovy, res)
+    t = depth.reshape(-1, 1)
+    return o + jnp.where(jnp.isfinite(t), t, 0.0) * d
 
 
 def scene_geoms(free_pos, free_quat, free_half, free_colors,

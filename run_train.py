@@ -12,7 +12,9 @@ Pipeline: load demonstration pickles -> padded device tensors -> Scaler ->
 jitted epoch training -> batched on-device rollout evaluation (all episodes
 in lockstep under vmap, replacing the reference's process-per-env harness,
 simulation/pushing_sim.py:93-138) -> success/entropy metrics + orbax
-checkpoint.
+checkpoint. Evaluation runs the FULL arm dynamics by default (the reference
+always exercises them, gym_env_wrapper.py:83-93); pass --kinematic for the
+fast kinematic-arm mode.
 """
 from __future__ import annotations
 
@@ -27,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-if os.environ.get("D3IL_RUN_CPU", "1") == "1":
+if os.environ.get("D3IL_RUN_CPU", "1") == "1" and "JAX_PLATFORMS" not in os.environ:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
@@ -41,6 +43,24 @@ from d3il_tpu import registry  # noqa: E402
 from d3il_tpu.agents import base as agent_base  # noqa: E402
 from d3il_tpu.data import dataset as ds  # noqa: E402
 from d3il_tpu.data.scaler import Scaler  # noqa: E402
+from d3il_tpu.utils import logging as run_logging  # noqa: E402
+
+
+def agent_kwargs(name: str, window: int, hidden: int, layers: int,
+                 chunk: int, ddpm_steps: int) -> dict:
+    """Per-agent constructor kwargs from the generic hyperparameters (shared
+    by training and checkpoint-restore so run_eval rebuilds identically)."""
+    kw = dict(window_size=window)
+    if name in ("bc", "cvae", "gmm", "ibc", "beso", "ddpm") or \
+            name.endswith("_vision"):
+        kw.update(hidden_dim=hidden, num_hidden_layers=layers)
+    if name in ("act", "ddpm_encdec"):
+        kw = dict(chunk=chunk)
+    if name in ("ddpm", "ddpm_encdec", "ddpm_vision"):
+        kw["n_timesteps"] = ddpm_steps
+    if name == "gpt_bc":
+        kw["window_size"] = max(window, 5)
+    return kw
 
 
 def build_agent_and_data(args, key):
@@ -66,20 +86,17 @@ def build_agent_and_data(args, key):
     print(f"dataset: {len(train_files)} train eps, {train_data.n_windows} "
           f"windows, obs {obs_dim} act {act_dim}")
 
-    kw = dict(window_size=args.window)
-    if args.agent in ("bc", "cvae", "gmm", "ibc", "beso", "ddpm"):
-        kw.update(hidden_dim=args.hidden, num_hidden_layers=args.layers)
-    if args.agent in ("act", "ddpm_encdec"):
-        kw = dict(chunk=args.chunk)
-    if args.agent in ("ddpm", "ddpm_encdec"):
-        kw["n_timesteps"] = args.ddpm_steps
-    if args.agent == "gpt_bc":
-        kw["window_size"] = max(args.window, 5)
+    kw = agent_kwargs(args.agent, args.window, args.hidden, args.layers,
+                      args.chunk, args.ddpm_steps)
+    if registry.AGENTS[args.agent].vision:
+        from d3il_tpu.vision import taskviews
+        kw["render_fn"] = taskviews.make_render_obs(args.task)
+        kw["low_dim"] = taskviews.low_dim_size(args.task)
     acts_scaled = None
     if registry.AGENTS[args.agent].needs_actions:
         acts_scaled = np.asarray(scaler.scale_output(jnp.asarray(y)))
     agent, ema = registry.make_agent(args.agent, key, obs_dim, act_dim,
-                                     scaler, acts_scaled, **kw)
+                                    scaler, acts_scaled, **kw)
 
     # chunked/windowed agents train on wider windows: rebuild index tables
     want_window = getattr(agent, "train_window", None) or agent.window_size
@@ -105,7 +122,70 @@ def evaluate(spec, agent, args):
     return out
 
 
-def main():
+def make_args(**overrides) -> argparse.Namespace:
+    """Programmatic entry: the CLI defaults as a Namespace, with per-task
+    tuned settings (registry.TaskSpec.train_kw) and explicit overrides
+    applied on top (the replacement for the reference's per-task
+    configs/agents yamls)."""
+    args = _parser().parse_args([])
+    task = overrides.get("task", args.task)
+    for k, v in registry.TASKS[task].train_kw.items():
+        setattr(args, k, v)
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def run_one(args) -> dict:
+    """Train + evaluate one (task, agent, seed); returns the metrics row."""
+    key = jax.random.PRNGKey(args.seed)
+    key, k1 = jax.random.split(key)
+    spec, agent, ema, train_data, val_data = build_agent_and_data(args, k1)
+
+    logger = run_logging.RunLogger(
+        run_dir=args.log_dir, name=f"{args.task}_{args.agent}_s{args.seed}",
+        enabled=args.log_dir is not None)
+    cfg = agent_base.TrainConfig(epochs=args.epochs,
+                                 batch_size=args.batch_size,
+                                 window_size=args.window,
+                                 eval_every_n_epochs=10, ema_decay=ema)
+    t0 = time.time()
+    best, final, hist = agent_base.fit(
+        agent.loss_fn(), agent.params, train_data, val_data, cfg, key,
+        log_every=10, callback=logger.epoch_callback,
+        checkpoint_dir=args.resume_dir, checkpoint_every=args.ckpt_every)
+    train_seconds = round(time.time() - t0, 1)
+    print(f"training done in {train_seconds:.1f}s, "
+          f"final loss {hist[-1]['train_loss']:.5f}")
+    agent.params = best
+
+    if args.ckpt:
+        extra = {"meta": {
+            "task": args.task, "agent": args.agent, "seed": args.seed,
+            "window": args.window, "hidden": args.hidden,
+            "layers": args.layers, "chunk": args.chunk,
+            "ddpm_steps": args.ddpm_steps,
+            "scale_data": bool(agent.scaler.scale_data)},
+            "scaler": {k: v for k, v in agent.scaler._asdict().items()
+                       if k != "scale_data"}}
+        if hasattr(agent, "centers"):
+            extra["centers"] = agent.centers
+        agent_base.save_checkpoint(args.ckpt, best, extra=extra)
+        print("checkpoint saved:", args.ckpt)
+
+    result = {}
+    if not args.skip_eval:
+        result = evaluate(spec, agent, args)
+    row = {"task": args.task, "agent": args.agent, "seed": args.seed,
+           "train_seconds": train_seconds,
+           "final_train_loss": round(float(hist[-1]["train_loss"]), 6),
+           **result}
+    logger.log({"event": "result", **row})
+    logger.close()
+    return row
+
+
+def _parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="avoiding", choices=sorted(registry.TASKS))
     ap.add_argument("--agent", default="bc", choices=sorted(registry.AGENTS))
@@ -122,39 +202,25 @@ def main():
                     help="trajectories per context (avoiding: total)")
     ap.add_argument("--eval-max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--kinematic", action="store_true", default=True,
-                    help="kinematic-arm eval (fast); --no-kinematic for full dynamics")
+    ap.add_argument("--kinematic", action="store_true", default=False,
+                    help="fast kinematic-arm eval (default: full dynamics)")
     ap.add_argument("--no-kinematic", dest="kinematic", action="store_false")
     ap.add_argument("--ddpm-steps", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--log-dir", default=None,
+                    help="JSONL run-metric stream directory (wandb equivalent)")
+    ap.add_argument("--resume-dir", default=None,
+                    help="mid-run checkpoint dir: resumes full train state")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="epochs between mid-run checkpoints (0: off)")
     ap.add_argument("--skip-eval", action="store_true")
-    args = ap.parse_args()
+    return ap
 
-    key = jax.random.PRNGKey(args.seed)
-    key, k1 = jax.random.split(key)
-    spec, agent, ema, train_data, val_data = build_agent_and_data(args, k1)
 
-    cfg = agent_base.TrainConfig(epochs=args.epochs,
-                                 batch_size=args.batch_size,
-                                 window_size=args.window,
-                                 eval_every_n_epochs=10, ema_decay=ema)
-    t0 = time.time()
-    best, final, hist = agent_base.fit(agent.loss_fn(), agent.params,
-                                       train_data, val_data, cfg, key,
-                                       log_every=10)
-    print(f"training done in {time.time()-t0:.1f}s, "
-          f"final loss {hist[-1]['train_loss']:.5f}")
-    agent.params = best
-
-    if args.ckpt:
-        agent_base.save_checkpoint(args.ckpt, best)
-        print("checkpoint saved:", args.ckpt)
-
-    result = {}
-    if not args.skip_eval:
-        result = evaluate(spec, agent, args)
-    print(json.dumps({"task": args.task, "agent": args.agent, **result}))
+def main():
+    args = _parser().parse_args()
+    print(json.dumps(run_one(args)))
 
 
 if __name__ == "__main__":

@@ -151,3 +151,22 @@ def test_ddpm_encdec(data):
                                 data[1], chunk=4, embed_dim=32, n_timesteps=4)
     ag.params = _fit(ag, data, 4, ema=0.995)
     _policy_roundtrip(ag, ag.params)
+
+
+def test_beso_samplers_converge_with_oracle_denoiser():
+    """Every k-diffusion sampler, driven by a perfect denoiser (always
+    returns the true x0), must land exactly on x0 at sigma=0 — the
+    self-consistency property all gc_sampling.py integrators share."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3il_tpu.agents import beso
+
+    x0 = jnp.array([0.3, -0.7])
+    denoise = lambda a, sigma: x0
+    sigmas = beso.karras_sigmas(8)  # includes the trailing 0
+    a_init = jnp.array([5.0, 5.0])
+    for name, fn in beso.SAMPLERS.items():
+        out = jax.jit(lambda a: fn(denoise, a, sigmas, jax.random.PRNGKey(0)))(a_init)
+        assert np.allclose(np.asarray(out), np.asarray(x0), atol=1e-4), \
+            f"{name}: {out} != {x0}"

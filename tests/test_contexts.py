@@ -95,3 +95,39 @@ def test_mode_prior_from_demos_stacking(tmp_path):
     np.testing.assert_allclose(p1, [2 / 3, 1 / 3, 0])
     # rg code = 0, gr code = 2
     np.testing.assert_allclose(p2[[0, 2]], [2 / 3, 1 / 3])
+
+
+def test_mode_prior_from_demos_stacking(tmp_path):
+    """Hand-counted stacking arrival-order priors: p1/p2 over all prefixes,
+    p3 over complete (length-3) stacks only, in the reference mode-table
+    index order (stacking_sim.py:42-46: rg,rb,gr,gb,br,bg / rgb..bgr)."""
+    import os
+    import pickle
+
+    demos = [
+        [0, 1, 2],   # rgb -> code2 0
+        [0, 1, 2],   # rgb
+        [2, 1, 0],   # bgr -> code2 5
+        [1, 2],      # gb prefix only (no 3-stack)
+        [0],         # r only
+    ]
+    task = tmp_path / "stacking"
+    (task / "all_data").mkdir(parents=True)
+    files = []
+    for i, m in enumerate(demos):
+        fn = f"env_{i:03d}.pkl"
+        with open(task / "all_data" / fn, "wb") as f:
+            pickle.dump({"mode": m, "robot": {}}, f)
+        files.append(fn)
+    with open(task / "train_files.pkl", "wb") as f:
+        pickle.dump(files, f)
+    with open(task / "eval_files.pkl", "wb") as f:
+        pickle.dump([], f)
+
+    p1, p2, p3 = contexts.mode_prior_from_demos(str(task))
+    # first boxes: r,r,b,g,r -> counts [3,1,1]
+    assert np.allclose(p1, np.array([3, 1, 1]) / 5.0)
+    # pairs: rg,rg,bg,gb -> code2 indices 0,0,5,3
+    assert np.allclose(p2, np.array([2, 0, 0, 1, 0, 1]) / 4.0)
+    # full stacks only: rgb,rgb,bgr -> indices 0,0,5
+    assert np.allclose(p3, np.array([2, 0, 0, 0, 0, 1]) / 3.0)

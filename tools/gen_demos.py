@@ -245,8 +245,45 @@ def gen_stacking(n_episodes, out_dir, seed=0):
     return files
 
 
+def gen_inserting(n_episodes, out_dir, seed=0):
+    import jax
+    from d3il_tpu.data import experts_jax as ex
+    from d3il_tpu.envs import inserting
+
+    params = inserting.InsertingParams(kinematic=True)
+    perms = np.array(list(itertools.permutations(range(3))), np.int32)
+    orders = perms[np.arange(n_episodes) % 6]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
+    ctxs = jax.vmap(inserting.sample_context)(keys)
+    init, chunk = ex.make_inserting_runner(params)
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk))
+    t0 = time.time()
+    carry0, fixed_z = init_v(ctxs)
+    cw = (carry0, (orders, fixed_z))
+    cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
+    state = cw[0].env
+    des, tcp, fpos, fquat = logs
+    succ = _np(state.success)
+    mode = _np(jax.vmap(inserting.decode_mode)(state.order, state.n_visited))
+    print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
+          f"success {succ.mean():.2f}")
+    files = []
+    for i in range(n_episodes):
+        if not succ[i]:
+            print(f"  episode {i} order {orders[i].tolist()} FAILED, skipping")
+            continue
+        L = _ep_len(dones[i])
+        log = {"robot": {"des_c_pos": des[i, :L], "c_pos": tcp[i, :L]}}
+        for bi in range(3):
+            log[f"box-{bi+1}"] = {"pos": fpos[i, :L, bi],
+                                  "quat": fquat[i, :L, bi]}
+        files.append(_write_episode(out_dir, i, log, int(mode[i])))
+    return files
+
+
 TASKS = ["avoiding", "pushing", "aligning", "sorting_2", "sorting_4",
-         "sorting_6", "stacking"]
+         "sorting_6", "stacking", "inserting"]
 
 
 def main():
@@ -279,6 +316,8 @@ def main():
                             num_boxes=int(args.task.split("_")[1]))
     elif args.task == "stacking":
         files = gen_stacking(args.n, all_dir, args.seed)
+    elif args.task == "inserting":
+        files = gen_inserting(args.n, all_dir, args.seed)
 
     rng = np.random.default_rng(args.seed + 1)
     files = list(files)
