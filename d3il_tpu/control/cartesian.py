@@ -102,11 +102,33 @@ def step(ctrl_chain, gains: CartPosQuatGains, state: CartImpedanceState,
     for _ in range(gains.num_iter):
         q, dq = ik_iter(q, dq)
 
+    # Convergence gate: freeze the virtual trajectory once the task error is
+    # at the float32 solve-noise floor. Without it, q_virt limit-cycles by
+    # ~1e-4 rad per substep (DLS solve jitter), which the finite-difference
+    # qdd_des below amplifies by 1/dt^2 into +-200 rad/s^2 — M @ qdd then
+    # saturates the +-87 Nm actuators with an alternating-sign dither that
+    # makes the arm sag onto the table and walk. (The reference runs this
+    # exact math in float64, where the jitter sits ~5 orders lower and the
+    # problem never manifests, IKControllers.py:280-281.)
+    xpos_f, xquat_f = chain_mod.fk(ctrl_chain, state.q_virt)
+    pos_err_raw = des_pos - xpos_f[ee_body]
+    cq = xquat_f[ee_body]
+    flip_f = jnp.where(jnp.sum((cq - des_quat) ** 2)
+                       > jnp.sum((cq + des_quat) ** 2), -1.0, 1.0)
+    quat_err_raw = quat_ops.quat_error(cq, des_quat * flip_f)
+    converged = (jnp.linalg.norm(pos_err_raw) < 5e-4) \
+        & (jnp.linalg.norm(quat_err_raw) < 5e-3)
+    q = jnp.where(converged, state.q_virt, q)
+
     qd_des = (q - state.q_virt) / dt                      # IKControllers.py:280
     ddg = jnp.asarray(gains.ddgain, dtype)
     qdd_des = ddg * (qd_des - state.old_des_vel) / dt     # IKControllers.py:281
-    acc_nrm = jnp.linalg.norm(qdd_des)
-    qdd_des = jnp.where(acc_nrm > 10000.0,
-                        qdd_des * 10000.0 / jnp.maximum(acc_nrm, 1e-9), qdd_des)
+    # physical-band clamp instead of the reference's norm<=10000 (a pure
+    # anti-NaN guard): during tracking the solve jitter is the same order as
+    # the real per-substep motion, so the unclamped finite-difference qdd is
+    # ~50% noise; +-25 rad/s^2 keeps full transient authority (M @ qdd up to
+    # ~40 Nm on the heavy joints) while bounding the noise torque well below
+    # the actuator limits.
+    qdd_des = jnp.clip(qdd_des, -25.0, 25.0)
     new_state = CartImpedanceState(q_virt=q, old_des_vel=qd_des)
     return new_state, q, qd_des, qdd_des

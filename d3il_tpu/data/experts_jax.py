@@ -96,9 +96,16 @@ PUSH_STOP = 0.032
 # setpoints (the old 0.02 = 2 cm indent) bury the capsule core in the box,
 # where the contact manifold degenerates to the top face and the push stalls.
 PUSH_DEPTH = 0.033
+# Under FULL DYNAMICS the commanded indent sets the push FORCE, not the
+# geometry: the impedance spring exerts pgain_pos * (des - tcp) ~ 200 N/m,
+# and the tcp stalls at the contact surface (box half 0.03 + rod 0.01), so
+# indent 0.02 -> ~4 N of steady push vs box-table friction ~0.5 N. The
+# kinematic value (7 mm) only yields ~1.4 N and pushes at a crawl.
+PUSH_DEPTH_DYN = 0.020
 
 
-def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active):
+def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active,
+                  block_r: float = 0.075, detour_r: float = 0.11):
     """First active obstacle blocking the straight line -> detour point
     (experts.PushingExpert approach branch, vectorized over obstacles)."""
     v = approach_pt - tcp_xy
@@ -108,13 +115,18 @@ def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active):
     def check(carry, ob_act):
         found, target = carry
         ob, act = ob_act
-        tproj = jnp.clip(jnp.dot(ob - tcp_xy, v) / (L * L), 0, 1)
+        tproj_raw = jnp.dot(ob - tcp_xy, v) / (L * L)
+        tproj = jnp.clip(tproj_raw, 0, 1)
         closest = tcp_xy + tproj * v
-        blocking = act & (jnp.linalg.norm(closest - ob) < 0.075) \
+        # an obstacle only blocks when it lies AHEAD along the travel
+        # direction — a just-passed box otherwise triggers a permanent
+        # detour flip-flop that freezes the rod in place
+        blocking = act & (tproj_raw > 0) \
+            & (jnp.linalg.norm(closest - ob) < block_r) \
             & (jnp.linalg.norm(ob - tcp_xy) < L)
         perp = jnp.array([-w[1], w[0]])
         side = jnp.where(jnp.dot(tcp_xy - ob, perp) >= 0, 1.0, -1.0)
-        detour = ob + perp * side * 0.11
+        detour = ob + perp * side * detour_r
         use = blocking & ~found
         return (found | blocking, jnp.where(use, detour, target)), None
 
@@ -125,7 +137,7 @@ def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active):
 
 
 def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
-                        seq_box, seq_tgt):
+                        seq_box, seq_tgt, push_depth=PUSH_DEPTH):
     """seq_box [2] int, seq_tgt [2,2]: per-mode (box, target) order."""
     stage = jnp.minimum(st.stage, 1)
     b = seq_box[stage]
@@ -153,7 +165,7 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     # detour once the rod is closer to the approach point than to the box)
     others = jnp.ones(boxes_xy.shape[0], bool)
     nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others)
-    push_pt = bpos - u * PUSH_DEPTH
+    push_pt = bpos - u * push_depth
     nxt_push = _limit_lead(_step_toward(des_xy, push_pt, 0.006), tcp_xy, 0.04)
 
     nxt = jnp.where(phase == 1, nxt_push, nxt_app)
@@ -178,7 +190,7 @@ SORT_BLUE_X = 0.625
 
 
 def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
-                        order, half):
+                        order, half, push_depth=PUSH_DEPTH):
     """Two-leg push per box: align x to the zone center, then eject toward
     (x_zone, 0.30) over the +y platform edge with continuous aim correction
     (an uncorrected straight +y push drifts laterally several cm).
@@ -237,7 +249,7 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
     near_edge = (phase == 3) & (bpos[1] > 0.12)
     pstep = jnp.where(near_edge, 0.010, 0.006)
     lead = jnp.where(near_edge, 0.05, 0.04)
-    push_pt = bpos - u * PUSH_DEPTH
+    push_pt = bpos - u * push_depth
     nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
     in_push = (phase == 1) | (phase == 3)
     nxt = jnp.where(in_push, nxt_push, nxt_app)
@@ -273,7 +285,7 @@ INSERT_RETREATS = np.array([
 
 
 def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
-                          boxes_pos, visited, order):
+                          boxes_pos, visited, order, push_depth=PUSH_DEPTH):
     """One control step of the scripted inserting expert.
 
     order [3]: permutation of box indices (= insertion order, defining the
@@ -299,10 +311,20 @@ def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
     b = order[stage_c]
     bpos = boxes_pos[b, :2]
 
-    # waypoint advance (the final route point holds until `visited` flips)
+    # waypoint advance (the final route point holds until `visited` flips).
+    # Gate entry needs the box ON the gate axis: the chambers admit the
+    # 5 cm box through 5.5-5.6 cm openings, so entering >8 mm off-axis jams
+    # it on a wall corner. Hysteresis (advance <8 mm, restage >15 mm)
+    # prevents staging flip-flop.
     wp = routes[b, wp_i]
-    adv = (wp_i < 2) & (jnp.linalg.norm(bpos - wp) < 0.035)
+    axis_off = jnp.where(b == 1, jnp.abs(bpos[0] - 0.525),
+                         jnp.abs(bpos[1] - 0.276))
+    near_wp = jnp.linalg.norm(bpos - wp) < 0.035
+    adv = ((wp_i == 0) & near_wp) | \
+          ((wp_i == 1) & near_wp & (axis_off < 0.008))
     wp_i = wp_i + adv.astype(wp_i.dtype)
+    wp_i = jnp.where((wp_i == 2) & (axis_off > 0.015) & ~visited[b],
+                     jnp.ones_like(wp_i), wp_i)
     phase = jnp.where(adv & (phase != 2), 0, phase)
     wp = routes[b, wp_i]
 
@@ -322,7 +344,7 @@ def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
     final = wp_i >= 2
     pstep = jnp.where(final, 0.004, 0.006)
     lead = jnp.where(final, 0.03, 0.04)
-    push_pt = bpos - u * PUSH_DEPTH
+    push_pt = bpos - u * push_depth
     nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
     # avoid every unplaced box on approach, including the target box (see
     # pushing_expert_step: an unrouted approach plows the box off its route)
@@ -333,6 +355,9 @@ def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
 
     nxt = jnp.where(phase == 2, nxt_ret,
                     jnp.where(phase == 1, nxt_push, nxt_app))
+    # keep the rod inside the board area: a detour target outside it drags
+    # boxes out of the maze for good
+    nxt = jnp.clip(nxt, jnp.array([0.30, -0.27]), jnp.array([0.75, 0.47]))
     delta = jnp.where(finished, jnp.zeros(2), nxt - des_xy)
     return InsertingExpertState(stage=stage2, wp=wp_i, phase=phase), delta
 
@@ -340,31 +365,39 @@ def inserting_expert_step(st: InsertingExpertState, des_xy, tcp_xy,
 # ---------------------------------------------------------------- aligning
 
 class AligningExpertState(NamedTuple):
-    phase: jax.Array   # 0 travel, 1 descend, 2 work
+    phase: jax.Array    # 0 travel, 1 descend, 2 work
+    rotating: jax.Array  # bool: in a rotation stint (hysteresis latch)
+    wall: jax.Array     # latched wall index for the current rotate stint
 
 
 ALIGN_R_IN = 0.040
 ALIGN_R_OUT = 0.062
 ALIGN_Z_HIGH = 0.25
-ALIGN_Z_LOW = 0.12
+# Working height: the rod tip (~tcp_z - 0.12) must engage the tray WALLS
+# (tops at z~0.0935) without dragging on the bottom plate (top at ~0.021) —
+# a plate-dragging rod turns every press into an unpredictable friction push
+ALIGN_Z_LOW = 0.17
 
 
 def aligning_expert_step(st: AligningExpertState, des_pos, tcp_pos,
                          tray_pos, tray_quat, tgt_pos, tgt_quat, mode):
-    """mode 0: work from inside the tray; 1: from outside
-    (experts.AligningExpert, vectorized)."""
+    """mode 0: work from inside the tray; 1: from outside.
+
+    Alternates a translate press (wall facing/behind the target direction)
+    with a rotate press (wall pressed at a lateral offset from the tray
+    center, so the contact-normal force torques the tray). The yaw error is
+    NOT symmetry-folded: the env scores raw quaternion distance
+    (aligning.py:22-30 rotation_distance), so a pi-flipped tray fails."""
     c = tray_pos[:2]
     yaw = _yaw_of(tray_quat)
     dyaw = _wrap(_yaw_of(tgt_quat) - yaw)
-    # fold the pi symmetry the quaternion metric can't see (aligning.py:22-36)
-    dyaw = jnp.where(dyaw > jnp.pi / 2, dyaw - jnp.pi,
-                     jnp.where(dyaw < -jnp.pi / 2, dyaw + jnp.pi, dyaw))
     dp = tgt_pos[:2] - c
-    pos_ok = jnp.linalg.norm(dp) < 0.012
+    dpn = jnp.linalg.norm(dp)
+    pos_ok = dpn < 0.012
     rot_ok = jnp.abs(dyaw) < 0.10
-    rad = jnp.where(mode == 0, ALIGN_R_IN, ALIGN_R_OUT)
+    inside = mode == 0
 
-    entry = jnp.where(mode == 0, c, c + jnp.array([0.0, -0.09]))
+    entry = jnp.where(inside, c, c + jnp.array([0.0, -0.09]))
     at_entry = jnp.linalg.norm(des_pos[:2] - entry) <= 0.008
     low = des_pos[2] <= ALIGN_Z_LOW + 0.004
     phase = jnp.where(st.phase == 0, jnp.where(at_entry, 1, 0), st.phase)
@@ -375,36 +408,88 @@ def aligning_expert_step(st: AligningExpertState, des_pos, tcp_pos,
     d_travel = _step_toward(des_pos, hover, 0.01) - des_pos
     d_descend = _step_toward(des_pos, dive, 0.008) - des_pos
 
-    # translate: press the wall facing (inside) / trailing (outside) u
-    u = dp / (jnp.linalg.norm(dp) + 1e-9)
-    contact = jnp.where(mode == 0, c + u * rad, c - u * rad)
-    goal2 = contact + u * 0.012
-    nxt_t = _limit_lead(_step_toward(des_pos[:2], goal2, 0.006), tcp_pos[:2],
-                        0.035)
-
-    # rotate: sweep a corner along an arc about the tray center
-    sgn = jnp.sign(dyaw)
-    corner_local = jnp.array([1.0, 1.0]) * rad
-    corner_local = corner_local * jnp.array([1.0, 1.0]).at[1].set(sgn)
     ca, sa = jnp.cos(yaw), jnp.sin(yaw)
     Rm = jnp.array([[ca, -sa], [sa, ca]])
-    corner = c + Rm @ corner_local
-    lead = jnp.minimum(0.25, jnp.abs(dyaw)) * sgn
-    cl, sl = jnp.cos(lead), jnp.sin(lead)
-    Rl = jnp.array([[cl, -sl], [sl, cl]])
-    swept = c + Rl @ (Rm @ (corner_local * 1.05))
-    far = jnp.linalg.norm(tcp_pos[:2] - corner) > 0.025
-    nxt_r = jnp.where(far, _step_toward(des_pos[:2], corner, 0.006),
-                      _step_toward(des_pos[:2], swept, 0.004))
-    nxt_r = _limit_lead(nxt_r, tcp_pos[:2], 0.035)
+    c_ob = c[None]  # tray as a routing obstacle (outside mode)
+    tray_active = jnp.array([~inside])
 
-    nxt2 = jnp.where(pos_ok, nxt_r, nxt_t)
+    # Work scheduling with hysteresis (a naive alternate-on-threshold loop
+    # thrashes: every rotation press disturbs position, every reposition
+    # takes 10+ steps of rod travel): rotate in long stints until the yaw
+    # error is well inside tolerance, translate otherwise, and only re-enter
+    # rotation when yaw drifts near the failure threshold again.
+    rotating = jnp.where(st.rotating, jnp.abs(dyaw) > 0.05,
+                         jnp.abs(dyaw) > 0.12)
+
+    # --- translate: two axis-aligned legs in the TRAY frame, pressing the
+    # wall CENTER (a face-center push is self-stabilizing and preserves yaw;
+    # pushing along an arbitrary world direction engages a corner and spins
+    # the tray). Pick the tray axis with the larger error component.
+    dpl = Rm.T @ dp
+    axis = jnp.argmax(jnp.abs(dpl))
+    sgn_t = jnp.sign(dpl[axis])
+    dir_local = jax.nn.one_hot(axis, 2) * sgn_t
+    u_t = Rm @ dir_local
+    rad = jnp.where(inside, ALIGN_R_IN, ALIGN_R_OUT)
+    indent = jnp.where(dpn < 0.03, 0.004, 0.012)
+    tstep = jnp.where(dpn < 0.05, 0.003, 0.006)
+    contact = jnp.where(inside, c + u_t * rad, c - u_t * rad)
+    goal2 = contact + u_t * indent
+    # outside mode: if the rod ended up ahead of the tray (overshoot) or on
+    # the wrong side for this leg, orbit around the tray instead of pushing
+    # it further away
+    ahead = jnp.dot(tcp_pos[:2] - c, u_t) > 0.02
+    nxt_direct = _limit_lead(_step_toward(des_pos[:2], goal2, tstep),
+                             tcp_pos[:2], 0.035)
+    nxt_orbit = _route_around(des_pos[:2], tcp_pos[:2], goal2, c_ob,
+                              tray_active, block_r=0.095, detour_r=0.14)
+    nxt_t = jnp.where(~inside & ahead, nxt_orbit, nxt_direct)
+
+    # --- rotate: press a wall at a lateral offset so the normal force
+    # torques the tray. The pressed wall is chosen so the press's induced
+    # TRANSLATION pushes the tray toward the target: a fixed-wall press is a
+    # positive-feedback chase (the press point rides the tray as the press
+    # shoves it, bulldozing it across the table), but a target-seeking wall
+    # choice flips sides when the tray overshoots, so the drift is bounded
+    # around the target while the torque accumulates.
+    sgn = jnp.sign(dyaw)
+    off = jnp.where(inside, 0.030, 0.040)
+    wall_x = jnp.where(inside, 0.045 - 0.010 + 0.004,   # inner face - rod + indent
+                       0.055 + 0.010 - 0.004)           # outer face + rod - indent
+    e_loc = jnp.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    n_world = e_loc @ Rm.T                      # outward wall normals, world
+    u_dp = dp / (dpn + 1e-9)
+    push_sign = jnp.where(inside, 1.0, -1.0)    # press moves tray along ±n_k
+    k_best = jnp.argmax(push_sign * (n_world @ u_dp))
+    # latch the wall while it still pushes the tray TOWARD the target:
+    # re-picking every step makes the outside rod orbit between walls and
+    # never press, but holding a stale wall bulldozes the tray past the
+    # target — release the latch once the held wall's push direction turns
+    # away from the target
+    held_push = push_sign * n_world[st.wall]
+    stale = jnp.dot(held_push, u_dp) < -0.15
+    k_wall = jnp.where(st.rotating & rotating & ~stale, st.wall, k_best)
+    e_k = e_loc[k_wall]
+    t_k = jnp.stack([-e_k[1], e_k[0]])
+    o = jnp.where(inside, -sgn, sgn) * off
+    press_local = e_k * wall_x + t_k * o
+    press = c + Rm @ press_local
+    nxt_r_direct = _limit_lead(_step_toward(des_pos[:2], press, 0.005),
+                               tcp_pos[:2], 0.03)
+    nxt_r_orbit = _route_around(des_pos[:2], tcp_pos[:2], press, c_ob,
+                                tray_active, block_r=0.095, detour_r=0.14)
+    # outside: orbit when the press point is on the far side of the tray
+    blocked = jnp.dot(tcp_pos[:2] - c, (press - c)) < 0
+    nxt_r = jnp.where(~inside & blocked, nxt_r_orbit, nxt_r_direct)
+
+    nxt2 = jnp.where(rotating, nxt_r, nxt_t)
     d_work = jnp.concatenate([nxt2 - des_pos[:2], jnp.zeros(1)])
     d_work = jnp.where(pos_ok & rot_ok, jnp.zeros(3), d_work)
 
     delta = jnp.where(phase == 0, d_travel,
                       jnp.where(phase == 1, d_descend, d_work))
-    return AligningExpertState(phase=phase), delta
+    return AligningExpertState(phase=phase, rotating=rotating,
+                               wall=k_wall), delta
 
 
 # ---------------------------------------------------------------- stacking
@@ -525,12 +610,22 @@ def stacking_expert_step(ctrl_chain, st: StackingExpertState, box_pos,
 
 CHUNK = 50
 
+# Exploration noise injected into the EXECUTED setpoint during demo
+# generation (and logged, so action labels include it). The experts compute
+# fresh targets from state every step, so they correct the perturbations —
+# which is exactly what makes the datasets contain recovery behavior. Clean
+# scripted rollouts train policies with ~0 coverage off the nominal path:
+# closed-loop they drift a few mm, lose the box, and never recover (human
+# demos get this coverage for free from human motor noise).
+DES_NOISE = 0.0015
+
 
 class EpCarry(NamedTuple):
     env: object
     es: object
     des: jax.Array
     done: jax.Array
+    key: jax.Array
 
 
 def _freeze_env(done, new, old):
@@ -550,25 +645,28 @@ def _chunk_fn(step_once, length):
 def make_avoiding_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import avoiding as env
 
-    def init():
+    def init(key):
         state = env.reset(params)
         tcp0, _ = params.tcp_pose(state.scene)
         es0 = AvoidingExpertState(k=jnp.array(0, jnp.int32))
-        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
     def step_once(cw):
         carry, (waypoints, fixed_z) = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = avoiding_expert_step(es, des, tcp[:2], waypoints)
-        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        noise = jax.random.normal(kn, des.shape) * DES_NOISE
+        des2 = jnp.where(done, des,
+                         des + jnp.clip(delta + noise, -0.011, 0.011))
         log = (jnp.concatenate([des2, fixed_z]), tcp)
         action = jnp.concatenate([des2, fixed_z,
                                   jnp.array([0.0, 1.0, 0.0, 0.0])])
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des2, done | res.done),
+        return (EpCarry(state2, es2, des2, done | res.done, key),
                 (waypoints, fixed_z)), log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)
@@ -576,22 +674,26 @@ def make_avoiding_runner(params, chunk_len: int = CHUNK):
 
 def make_pushing_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import pushing as env
+    depth = PUSH_DEPTH if params.kinematic else PUSH_DEPTH_DYN
 
-    def init(ctx):
+    def init(ctx, key):
         state = env.reset(params, ctx)
         tcp0, _ = params.tcp_pose(state.scene)
         es0 = PushExpertState(stage=jnp.array(0, jnp.int32),
                               phase=jnp.array(0, jnp.int32))
-        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
     def step_once(cw):
         carry, (seq_box, seq_tgt, fixed_z) = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         boxes = state.scene.free_pos[:, :2]
         es2, delta = pushing_expert_step(es, des, tcp[:2], boxes, seq_box,
-                                         seq_tgt)
-        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+                                         seq_tgt, push_depth=depth)
+        noise = jax.random.normal(kn, des.shape) * DES_NOISE
+        des2 = jnp.where(done, des,
+                         des + jnp.clip(delta + noise, -0.011, 0.011))
         log = (jnp.concatenate([des2, fixed_z]), tcp,
                state.scene.free_pos, state.scene.free_quat)
         action = jnp.concatenate([des2, fixed_z,
@@ -599,7 +701,7 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des2, done | res.done),
+        return (EpCarry(state2, es2, des2, done | res.done, key),
                 (seq_box, seq_tgt, fixed_z)), log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)
@@ -607,23 +709,28 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
 
 def make_sorting_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import sorting as env
+    depth = PUSH_DEPTH if params.kinematic else PUSH_DEPTH_DYN
     half = params.num_boxes // 2
 
-    def init(ctx):
+    def init(ctx, key):
         state = env.reset(params, ctx)
         tcp0, _ = params.tcp_pose(state.scene)
         es0 = SortingExpertState(stage=jnp.array(0, jnp.int32),
                                  phase=jnp.array(0, jnp.int32),
                                  prev_b=jnp.array(-1, jnp.int32))
-        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
     def step_once(cw):
         carry, (order, fixed_z) = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = sorting_expert_step(es, des, tcp[:2],
-                                         state.scene.free_pos, order, half)
-        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+                                         state.scene.free_pos, order, half,
+                                         push_depth=depth)
+        noise = jax.random.normal(kn, des.shape) * DES_NOISE
+        des2 = jnp.where(done, des,
+                         des + jnp.clip(delta + noise, -0.011, 0.011))
         log = (jnp.concatenate([des2, fixed_z]), tcp,
                state.scene.free_pos, state.scene.free_quat)
         action = jnp.concatenate([des2, fixed_z,
@@ -631,7 +738,7 @@ def make_sorting_runner(params, chunk_len: int = CHUNK):
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des2, done | res.done),
+        return (EpCarry(state2, es2, des2, done | res.done, key),
                 (order, fixed_z)), log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)
@@ -639,23 +746,28 @@ def make_sorting_runner(params, chunk_len: int = CHUNK):
 
 def make_inserting_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import inserting as env
+    depth = PUSH_DEPTH if params.kinematic else PUSH_DEPTH_DYN
 
-    def init(ctx):
+    def init(ctx, key):
         state = env.reset(params, ctx)
         tcp0, _ = params.tcp_pose(state.scene)
         es0 = InsertingExpertState(stage=jnp.array(0, jnp.int32),
                                    wp=jnp.array(0, jnp.int32),
                                    phase=jnp.array(0, jnp.int32))
-        return EpCarry(state, es0, tcp0[:2], jnp.array(False)), tcp0[2:3]
+        return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
     def step_once(cw):
         carry, (order, fixed_z) = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = inserting_expert_step(es, des, tcp[:2],
                                            state.scene.free_pos,
-                                           state.visited, order)
-        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+                                           state.visited, order,
+                                           push_depth=depth)
+        noise = jax.random.normal(kn, des.shape) * DES_NOISE
+        des2 = jnp.where(done, des,
+                         des + jnp.clip(delta + noise, -0.011, 0.011))
         log = (jnp.concatenate([des2, fixed_z]), tcp,
                state.scene.free_pos, state.scene.free_quat)
         action = jnp.concatenate([des2, fixed_z,
@@ -663,7 +775,7 @@ def make_inserting_runner(params, chunk_len: int = CHUNK):
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des2, done | res.done),
+        return (EpCarry(state2, es2, des2, done | res.done, key),
                 (order, fixed_z)), log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)
@@ -672,26 +784,31 @@ def make_inserting_runner(params, chunk_len: int = CHUNK):
 def make_aligning_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import aligning as env
 
-    def init(ctx):
+    def init(ctx, key):
         state = env.reset(params, ctx)
         tcp0, _ = params.tcp_pose(state.scene)
-        es0 = AligningExpertState(phase=jnp.array(0, jnp.int32))
-        return EpCarry(state, es0, tcp0, jnp.array(False))
+        es0 = AligningExpertState(phase=jnp.array(0, jnp.int32),
+                                  rotating=jnp.array(False),
+                                  wall=jnp.array(0, jnp.int32))
+        return EpCarry(state, es0, tcp0, jnp.array(False), key)
 
     def step_once(cw):
         carry, mode = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = aligning_expert_step(
             es, des, tcp, state.scene.free_pos[0], state.scene.free_quat[0],
             state.target_pos, state.target_quat, mode)
-        des2 = jnp.where(done, des, des + jnp.clip(delta, -0.01, 0.01))
+        noise = jax.random.normal(kn, des.shape) * DES_NOISE
+        des2 = jnp.where(done, des,
+                         des + jnp.clip(delta + noise, -0.011, 0.011))
         log = (des2, tcp, state.scene.free_pos[0], state.scene.free_quat[0])
         action = jnp.concatenate([des2, jnp.array([0.0, 1.0, 0.0, 0.0])])
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des2, done | res.done), mode), \
+        return (EpCarry(state2, es2, des2, done | res.done, key), mode), \
             log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)
@@ -701,26 +818,32 @@ def make_stacking_runner(params, chunk_len: int = CHUNK):
     from d3il_tpu.envs import stacking as env
     chain = params.ctrl_chain
 
-    def init(ctx):
+    def init(ctx, key):
         state = env.reset(params, ctx)
         es0 = StackingExpertState(
             stage=jnp.array(0, jnp.int32), phase=jnp.array(0, jnp.int32),
             hold=jnp.array(0, jnp.int32), q_des=state.scene.q[:7])
-        return EpCarry(state, es0, jnp.zeros(0), jnp.array(False))
+        return EpCarry(state, es0, jnp.zeros(0), jnp.array(False), key)
 
     def step_once(cw):
         carry, order = cw
-        state, es, des, done = carry
+        state, es, des, done, key = carry
+        key, kn = jax.random.split(key)
         es2, action = stacking_expert_step(
             chain, es, state.scene.free_pos, state.scene.free_quat,
             state.target_xy, order)
+        # executed joint setpoint carries the exploration noise; the logged
+        # des_j_pos is the executed one (labels include the noise, states
+        # cover its perturbations, the expert's next step corrects them)
+        q_noise = jax.random.normal(kn, (7,)) * 0.002
+        action = action.at[:7].add(jnp.where(done, 0.0, q_noise))
         width_meas = state.scene.q[7] + state.scene.q[8]
-        log = (es2.q_des, width_meas, state.scene.free_pos,
+        log = (action[:7], width_meas, state.scene.free_pos,
                state.scene.free_quat)
         ns, res = env.step(params, state, action)
         state2 = _freeze_env(done, ns, state)
         es2 = _freeze_env(done, es2, es)
-        return (EpCarry(state2, es2, des, done | res.done), order), \
+        return (EpCarry(state2, es2, des, done | res.done, key), order), \
             log, res.done
 
     return init, _chunk_fn(step_once, chunk_len)

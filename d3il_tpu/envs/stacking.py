@@ -200,7 +200,12 @@ def step(params: StackingParams, state: StackingState, action: jax.Array):
 
     q_des = action[:7]
     open_cmd = action[7] > 0.075   # stacking.py:334-353
-    set_width = jnp.where(open_cmd, 0.04, 0.0)
+    # closing target: the reference commands width 0 and relies on the
+    # clamped -20 N grasp force (Robots.py:466-469); a position-prescribed
+    # (kinematic) gripper instead needs a geometric target — 2 mm of
+    # commanded indent per finger into the 3 cm-half boxes
+    close_w = jnp.float32(0.028) if params.kinematic else jnp.float32(0.0)
+    set_width = jnp.where(open_cmd, 0.04, close_w)
     grasp = ~open_cmd
 
     (sc, *_), _ = jax.lax.scan(

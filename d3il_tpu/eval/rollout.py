@@ -57,7 +57,9 @@ def make_rod_rollout(params, reset_fn, step_fn, observe_fn, policy_apply,
             state, pc, prev_pos, prev_obs, finished = carry
             obs_policy = jnp.concatenate([prev_pos, prev_obs])
             pc2, delta = policy_apply(policy_params, pc, obs_policy)
-            abs_pos = delta[:pos_dim] + prev_pos
+            # the reference envs bound the per-step delta (action_space
+            # Box(+-0.01), pushing.py:203-205)
+            abs_pos = jnp.clip(delta[:pos_dim], -0.01, 0.01) + prev_pos
             if pos_dim == 2:
                 pos3 = jnp.concatenate([abs_pos, fixed_z])
             else:

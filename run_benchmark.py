@@ -37,6 +37,8 @@ def load_done(path):
                     r = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if "error" in r:
+                    continue  # failed rows are retried on the next sweep
                 done.add((r.get("task"), r.get("agent"), r.get("seed")))
     return done
 

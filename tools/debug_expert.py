@@ -45,7 +45,8 @@ def main():
         init, chunk = ex.make_pushing_runner(params)
         init_v = jax.jit(jax.vmap(init))
         chunk_v = jax.jit(jax.vmap(chunk))
-        carry0, fixed_z = init_v(ctxs)
+        ikeys = jax.random.split(jax.random.PRNGKey(args.seed + 1000), n)
+        carry0, fixed_z = init_v(ctxs, ikeys)
         cw = (carry0, (seq_box_tab[modes], seq_tgt_tab[modes], fixed_z))
         cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
         state = cw[0].env
@@ -69,7 +70,8 @@ def main():
         init, chunk = ex.make_inserting_runner(params)
         init_v = jax.jit(jax.vmap(init))
         chunk_v = jax.jit(jax.vmap(chunk))
-        carry0, fixed_z = init_v(ctxs)
+        ikeys = jax.random.split(jax.random.PRNGKey(args.seed + 1000), n)
+        carry0, fixed_z = init_v(ctxs, ikeys)
         cw = (carry0, (orders, fixed_z))
         cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
         state = cw[0].env
@@ -90,7 +92,8 @@ def main():
         init, chunk = ex.make_aligning_runner(params)
         init_v = jax.jit(jax.vmap(init))
         chunk_v = jax.jit(jax.vmap(chunk))
-        cw = (init_v(ctxs), modes)
+        ikeys = jax.random.split(jax.random.PRNGKey(args.seed + 1000), n)
+        cw = (init_v(ctxs, ikeys), modes)
         cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
         state = cw[0].env
         es = cw[0].es
@@ -111,7 +114,8 @@ def main():
         init, chunk = ex.make_sorting_runner(params)
         init_v = jax.jit(jax.vmap(init))
         chunk_v = jax.jit(jax.vmap(chunk))
-        carry0, fixed_z = init_v(ctxs)
+        ikeys = jax.random.split(jax.random.PRNGKey(args.seed + 1000), n)
+        carry0, fixed_z = init_v(ctxs, ikeys)
         cw = (carry0, (orders, fixed_z))
         cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
         state = cw[0].env
@@ -124,7 +128,7 @@ def main():
     elif args.task == "stacking":
         import itertools
         from d3il_tpu.envs import stacking
-        params = stacking.StackingParams(kinematic=False)
+        params = stacking.StackingParams(kinematic=True)
         perms = np.array(list(itertools.permutations(range(3))), np.int32)
         orders = perms[np.arange(n) % 6]
         keys = jax.random.split(jax.random.PRNGKey(args.seed), n)
@@ -132,7 +136,8 @@ def main():
         init, chunk = ex.make_stacking_runner(params)
         init_v = jax.jit(jax.vmap(init))
         chunk_v = jax.jit(jax.vmap(chunk))
-        cw = (init_v(ctxs), orders)
+        ikeys = jax.random.split(jax.random.PRNGKey(args.seed + 1000), n)
+        cw = (init_v(ctxs, ikeys), orders)
         cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
         state = cw[0].env
         es = cw[0].es

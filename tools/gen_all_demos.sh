@@ -13,10 +13,12 @@ run() {
   timeout 2400 python -u tools/gen_demos.py --task "$task" --n "$n" \
       --out "$OUT" > "/tmp/gen_${task}.log" 2>&1
   rc=$?
-  tail -3 "/tmp/gen_${task}.log"
+  grep -v WARNING "/tmp/gen_${task}.log" | head -2
+  tail -1 "/tmp/gen_${task}.log"
   echo "=== $task rc=$rc"
 }
 
+run avoiding 120
 run pushing 120
 run sorting_2 120
 run aligning 120

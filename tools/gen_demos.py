@@ -58,11 +58,11 @@ def gen_avoiding(n_episodes, out_dir, seed=0):
         ((i % 2), (i // 2) % 3, (i // 6) % 4), rng)
         for i in range(n_episodes)]).astype(np.float32)
     init, chunk = ex.make_avoiding_runner(params)
-    init_v = jax.jit(jax.vmap(lambda _: init(), axis_size=n_episodes,
-                              in_axes=0, out_axes=0))
+    init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    carry0, fixed_z = init_v(np.zeros(n_episodes, np.float32))
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    carry0, fixed_z = init_v(ikeys)
     cw = (carry0, (wps, fixed_z))
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
@@ -93,14 +93,27 @@ def gen_pushing(n_episodes, out_dir, seed=0):
     seq_box_tab = np.array([[0, 1], [1, 0], [0, 1], [1, 0]], np.int32)
     seq_tgt_tab = np.array([[t1, t2], [t2, t1], [t2, t1], [t1, t2]],
                            np.float32)
-    modes = np.arange(n_episodes) % 4
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
     ctxs = jax.vmap(pushing.sample_context)(keys)
+    # Context-correlated mode choice (the human demonstrators' orders
+    # correlate with the layout — a pure mode = i % 4 assignment makes the
+    # mode unpredictable from the observation, which no deterministic
+    # method could ever fit): usually start with the box nearer the arm,
+    # sometimes not; target assignment coin-flipped.
+    rng = np.random.default_rng(seed + 7)
+    start = np.asarray(scenes.INIT_EE_POS[:2])
+    d_red = np.linalg.norm(np.asarray(ctxs[0]) - start, axis=-1)
+    d_green = np.linalg.norm(np.asarray(ctxs[2]) - start, axis=-1)
+    red_first = (d_red < d_green) ^ (rng.random(n_episodes) < 0.2)
+    tgt_swap = rng.random(n_episodes) < 0.5
+    modes = np.where(red_first, np.where(tgt_swap, 2, 0),
+                     np.where(tgt_swap, 3, 1)).astype(np.int64)
     init, chunk = ex.make_pushing_runner(params)
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    carry0, fixed_z = init_v(ctxs)
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    carry0, fixed_z = init_v(ctxs, ikeys)
     cw = (carry0, (seq_box_tab[modes], seq_tgt_tab[modes], fixed_z))
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
@@ -135,15 +148,30 @@ def gen_sorting(n_episodes, out_dir, seed=0, num_boxes=2):
 
     params = sorting.SortingParams(num_boxes, kinematic=True)
     rng = np.random.default_rng(seed)
-    orders = np.stack([rng.permutation(num_boxes)
-                       for _ in range(n_episodes)]).astype(np.int32)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
     ctxs = jax.vmap(lambda k: sorting.sample_context(k, num_boxes))(keys)
+    # noisy-greedy nearest-first orders (human-like: sort whatever is
+    # closest next, occasionally not) instead of uniform permutations —
+    # keeps the mode observable from the layout while preserving diversity
+    box_xy = np.asarray(ctxs[0])  # [n, nb, 2]
+    start = np.array([0.525, -0.3])
+    orders = np.zeros((n_episodes, num_boxes), np.int32)
+    for i in range(n_episodes):
+        cur = start
+        remaining = list(range(num_boxes))
+        for k in range(num_boxes):
+            d = np.linalg.norm(box_xy[i, remaining] - cur, axis=-1)
+            pick = np.argsort(d)
+            j = pick[1] if (len(pick) > 1 and rng.random() < 0.25) else pick[0]
+            b = remaining.pop(int(j))
+            orders[i, k] = b
+            cur = box_xy[i, b]
     init, chunk = ex.make_sorting_runner(params)
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    carry0, fixed_z = init_v(ctxs)
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    carry0, fixed_z = init_v(ctxs, ikeys)
     cw = (carry0, (orders, fixed_z))
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
@@ -175,14 +203,19 @@ def gen_aligning(n_episodes, out_dir, seed=0):
     from d3il_tpu.envs import aligning
 
     params = aligning.AligningParams(kinematic=True)
-    modes = (np.arange(n_episodes) % 2).astype(np.int32)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
     ctxs = jax.vmap(aligning.sample_context)(keys)
+    # context-correlated mode: work from inside when the tray spawns left
+    # of the centerline (a human grabs the nearer approach), 20% otherwise
+    rng = np.random.default_rng(seed + 3)
+    box_x = np.asarray(ctxs[0])[:, 0]
+    modes = ((box_x >= 0.5) ^ (rng.random(n_episodes) < 0.2)).astype(np.int32)
     init, chunk = ex.make_aligning_runner(params)
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    cw = (init_v(ctxs), modes)
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    cw = (init_v(ctxs, ikeys), modes)
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
     des, tcp, fpos, fquat = logs
@@ -211,7 +244,7 @@ def gen_stacking(n_episodes, out_dir, seed=0):
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import stacking
 
-    params = stacking.StackingParams(kinematic=False)
+    params = stacking.StackingParams(kinematic=True)
     perms = np.array(list(itertools.permutations(range(3))), np.int32)
     orders = perms[np.arange(n_episodes) % 6]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
@@ -220,15 +253,17 @@ def gen_stacking(n_episodes, out_dir, seed=0):
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    cw = (init_v(ctxs), orders)
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    cw = (init_v(ctxs, ikeys), orders)
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
     des_q, width, fpos, fquat = logs
     succ = _np(state.success)
     mode = _np(state.mode)
+    mlen = _np(state.mode_len)
     print(f"batch of {n_episodes} rolled out in {time.time()-t0:.1f}s, "
-          f"success {succ.mean():.2f} "
-          f"(1-box {float(_np(state.mode_len) > 0).__class__ and (_np(state.mode_len) > 0).mean():.2f})")
+          f"success {succ.mean():.2f} (1-box {(mlen > 0).mean():.2f}, "
+          f"2-box {(mlen > 1).mean():.2f})")
     names = ("red-box", "green-box", "blue-box")
     files = []
     for i in range(n_episodes):
@@ -259,7 +294,8 @@ def gen_inserting(n_episodes, out_dir, seed=0):
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
     t0 = time.time()
-    carry0, fixed_z = init_v(ctxs)
+    ikeys = jax.random.split(jax.random.PRNGKey(seed + 1000), n_episodes)
+    carry0, fixed_z = init_v(ctxs, ikeys)
     cw = (carry0, (orders, fixed_z))
     cw, logs, dones = ex.run_chunked(chunk_v, cw, params.max_steps)
     state = cw[0].env
