@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--data", default="data")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override the per-task tuned epoch count")
+    ap.add_argument("--n-contexts", type=int, default=None,
+                    help="override the per-task eval context count")
+    ap.add_argument("--n-trajs", type=int, default=None,
+                    help="override the per-task eval trajectories")
     ap.add_argument("--kinematic", action="store_true", default=False)
     ap.add_argument("--rerun", action="store_true",
                     help="recompute rows already in results.jsonl")
@@ -77,6 +81,10 @@ def main():
                             kinematic=args.kinematic, log_dir=args.out)
                 if args.epochs is not None:
                     over["epochs"] = args.epochs
+                if args.n_contexts is not None:
+                    over["n_contexts"] = args.n_contexts
+                if args.n_trajs is not None:
+                    over["n_trajs"] = args.n_trajs
                 t0 = time.time()
                 print(f"[run ] {task} {agent} seed {seed}")
                 try:
