@@ -133,6 +133,11 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
             ema_params = pmesh.replicate(mesh, ema_params)
             opt_state = pmesh.replicate(mesh, opt_state)
         print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+        if start_epoch >= cfg.epochs:
+            # Fully-trained checkpoint: the loop below runs zero epochs;
+            # emit a synthetic record so callers reading history[-1] work.
+            history.append({"epoch": start_epoch - 1, "train_loss": 0.0,
+                            "resumed_complete": True})
     for epoch in range(start_epoch, cfg.epochs):
         key, k1, k2 = jax.random.split(key, 3)
         params, ema_params, opt_state, train_loss = train_epoch(
@@ -149,7 +154,10 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
             print(f"epoch {epoch+1}/{cfg.epochs} loss {rec['train_loss']:.5f}"
                   + (f" val {rec.get('val_loss'):.5f}" if "val_loss" in rec else ""))
         if callback is not None:
-            callback(epoch, params, rec)
+            # Hand the callback the deployable weights for this epoch (EMA
+            # when ema_decay is set) so rollout-based model selection picks
+            # the same weight track fit() itself returns as `final_params`.
+            callback(epoch, eval_candidate, rec)
         if checkpoint_dir and checkpoint_every and \
                 (epoch + 1) % checkpoint_every == 0:
             save_checkpoint(os.path.join(checkpoint_dir, "state"), params,

@@ -60,9 +60,17 @@ def _b2(x, shape):
             raise NotImplementedError(
                 "_b2 can only expand a unit sublane dim by concatenation "
                 f"(Mosaic restriction), got {x.shape} -> {tuple(shape)}")
-        # chunked concat keeps each concatenate <= 8 operands (Mosaic limit)
+        # chunked concat keeps each concatenate <= 8 operands (Mosaic limit);
+        # pick reps dividing the remaining factor so progress is guaranteed
+        # (greedy min(8, target//cur) stalls on e.g. target 12: 1->8, 12//8=1)
         while x.shape[-2] < shape[-2]:
-            reps = min(8, shape[-2] // x.shape[-2])
+            rem = shape[-2] // x.shape[-2]
+            reps = next((r for r in range(min(8, rem), 1, -1) if rem % r == 0),
+                        None)
+            if reps is None or shape[-2] % x.shape[-2] != 0:
+                raise NotImplementedError(
+                    f"_b2 cannot reach sublane count {shape[-2]} from "
+                    f"{x.shape[-2]} by <=8-way concatenation")
             x = jnp.concatenate([x] * reps, axis=-2)
     return jnp.broadcast_to(x, shape)
 

@@ -83,7 +83,15 @@ def aligning_score(successes, modes, mean_distance=None):
     h = entropy(probs, 2)
     out = {"success_rate": sr, "entropy": h, "score": 0.5 * (sr + h)}
     if mean_distance is not None:
-        out["mean_distance"] = jnp.mean(mean_distance)
+        # Rollouts whose physics diverged (rod slamming the box can NaN the
+        # box state) would poison a plain mean; average the finite entries
+        # and report the diverged fraction alongside (the reference's plain
+        # torch mean, aligning_sim.py:199, never meets NaN because MuJoCo
+        # clamps instead of diverging).
+        ok = jnp.isfinite(mean_distance)
+        n_ok = jnp.maximum(ok.sum(), 1)
+        out["mean_distance"] = jnp.where(ok, mean_distance, 0.0).sum() / n_ok
+        out["nonfinite_frac"] = 1.0 - ok.mean()
     return out
 
 

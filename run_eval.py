@@ -48,12 +48,17 @@ def load_agent(ckpt_path: str):
         from d3il_tpu.vision import taskviews
         kw["render_fn"] = taskviews.make_render_obs(meta["task"])
         kw["low_dim"] = taskviews.low_dim_size(meta["task"])
-    # BeT: k-means over exactly n_bins stored centers reproduces the centers
     centers = jnp.asarray(ck["centers"]) if "centers" in ck else None
     agent, _ = registry.make_agent(meta["agent"], jax.random.PRNGKey(0),
                                    spec.obs_dim, spec.act_dim, scaler,
                                    centers, **kw)
     agent.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+    if centers is not None and hasattr(agent, "centers"):
+        # Restore the stored centers verbatim: re-fitting k-means over the
+        # stored centers returns the same *set* but in a permuted *order*
+        # (kmeans_fit seeds with a random permutation), which would misalign
+        # the trained logits/offsets heads with their bins.
+        agent.centers = centers
     return spec, agent, meta
 
 

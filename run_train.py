@@ -55,7 +55,10 @@ def agent_kwargs(name: str, window: int, hidden: int, layers: int,
             name.endswith("_vision"):
         kw.update(hidden_dim=hidden, num_hidden_layers=layers)
     if name in ("act", "ddpm_encdec"):
-        kw = dict(chunk=chunk)
+        kw["chunk"] = chunk   # keep window_size etc. (don't clobber kw)
+        if window != 1:
+            print(f"warning: --window {window} has no effect for {name} "
+                  "(single-obs chunk policies)")
     if name in ("ddpm", "ddpm_encdec", "ddpm_vision"):
         kw["n_timesteps"] = ddpm_steps
     if name == "gpt_bc":

@@ -81,7 +81,7 @@ def test_mode_prior_from_demos_scalar(tmp_path):
     np.testing.assert_allclose(probs, [2 / 3, 1 / 3])
 
 
-def test_mode_prior_from_demos_stacking(tmp_path):
+def test_mode_prior_from_demos_stacking_basic(tmp_path):
     import pickle
     d = tmp_path / "task"
     (d / "all_data").mkdir(parents=True)
