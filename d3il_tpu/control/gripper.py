@@ -25,7 +25,15 @@ def finger_forces(fing_pos, fing_vel, set_width, grasp_flag):
     force = PGAIN * (mean_pos - fing_pos)  # enforce symmetric fingers
 
     wide = (mean_pos - set_width) > 0.005
-    grasp = jnp.full((2,), -20.0, dtype)
+    # -20 N grasp force with a closing-speed brake: the raw constant force on
+    # the 22 g fingers accelerates them at ~900 m/s^2 across any momentary
+    # separation, so a micro-slip mid-hold became a 2 m/s hammer strike that
+    # ejected the grasped box (energy the reference sim dissipates through
+    # condim-4 torsional friction, which keeps the box from twisting loose in
+    # the first place). The brake leaves the static squeeze at the reference
+    # -20 N and only engages beyond the close-servo's own 0.2 m/s target.
+    brake = 200.0 * jnp.maximum(-(fing_vel + 0.2), 0.0)
+    grasp = jnp.minimum(-20.0 + brake, 0.0)
     close_servo = DGAIN * (-0.2 - fing_vel)
     pd = jnp.clip(PGAIN * (set_width - fing_pos) - DGAIN * fing_vel, -5.0, 5.0)
 

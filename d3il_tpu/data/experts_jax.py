@@ -503,8 +503,13 @@ class StackingExpertState(NamedTuple):
 
 
 STACK_Z_HOVER = 0.22
-STACK_Z_GRASP = 0.022
-STACK_HOLD_CLOSE = 15
+# grasp height: tip-pad contact band centered on the resting box center
+# (z ~ 0.011; tips sit ~9 mm below the grasptarget) — grasping higher leaves
+# both contact rows above the box c.o.m. and the box pendulums out of the
+# pinch during transport
+STACK_Z_GRASP = 0.018
+STACK_HOLD_CLOSE = 22   # > the env's 0.5 s close_fingers servo window, so
+#                         the -20 N grasp force is engaged before lifting
 STACK_HOLD_OPEN = 10
 
 
@@ -545,19 +550,32 @@ def _ik_toward(ctrl_chain, q, tgt_pos, tgt_quat, iters: int = 10,
 
 
 def stacking_expert_step(ctrl_chain, st: StackingExpertState, box_pos,
-                         box_quat, target_xy, order):
+                         box_quat, target_xy, order, tcp_pos=None,
+                         width_meas=None):
     """One control step of the pick-and-place expert. Returns
-    (state, action8 = [q_des, width_cmd])."""
+    (state, action8 = [q_des, width_cmd]).
+
+    tcp_pos: PHYSICAL grasptarget position — phase advance gates on the real
+    arm, not the virtual IK pose (the PD-tracked plant lags the virtual
+    trajectory by up to ~3 cm during fast descents, so gating on the virtual
+    pose closed the fingers beside the box). width_meas: measured finger
+    opening; a fully-closed gripper after the close dwell means the grasp
+    missed, and the expert retries from hover instead of lifting air."""
     from d3il_tpu.robot import chain as chain_mod
     ee = ctrl_chain.body_index("panda_grasptarget")
     stage = jnp.minimum(st.stage, 2)
     b = order[stage]
     bp = box_pos[b]
     yaw = _yaw_of(box_quat[b])
-    # fold grasp-yaw symmetry: square boxes (r,g) pi/2; blue (rectangular) pi
+    # fold grasp-yaw symmetry: square boxes (r,g) pi/2; blue (rectangular) pi.
+    # Blue is 0.06 x 0.10 x 0.06: the fingers (max opening 0.08, separated
+    # along gripper-y) must close across its 0.06 x-axis, so the gripper yaw
+    # is the box yaw ROTATED 90 deg (gripper-y parallel to box-x); aligning
+    # with box-y parks the pads on top of the 0.10-wide faces instead.
     yaw_sq = _wrap(yaw + jnp.pi / 4) % (jnp.pi / 2) - jnp.pi / 4
-    yaw_bl = jnp.where(yaw > jnp.pi / 2, yaw - jnp.pi,
-                       jnp.where(yaw < -jnp.pi / 2, yaw + jnp.pi, yaw))
+    yb = _wrap(yaw + jnp.pi / 2)
+    yaw_bl = jnp.where(yb > jnp.pi / 2, yb - jnp.pi,
+                       jnp.where(yb < -jnp.pi / 2, yb + jnp.pi, yb))
     gyaw = jnp.where(b == 2, yaw_bl, yaw_sq)
     h = gyaw / 2.0
     tgt_quat = jnp.array([0.0, 0.0, 0.0, 0.0]).at[1].set(jnp.cos(h)).at[2].set(
@@ -578,18 +596,41 @@ def stacking_expert_step(ctrl_chain, st: StackingExpertState, box_pos,
     wp = wp_tab[st.phase]
     tol = tol_tab[st.phase]
 
+    wp_ik, rate = wp, jnp.asarray(0.05, wp.dtype)
+    if tcp_pos is not None:
+        # vertical pick/place approach: hold altitude while xy-off-center and
+        # ramp the z-target down only as the gripper centers (a diagonal
+        # descent reaches the box top before xy converges, a finger lands ON
+        # the box, and friction deadlocks the lateral correction; a binary
+        # descend/climb gate instead limit-cycles with the PD swing)
+        des_ph = (st.phase == 1) | (st.phase == 5)
+        xy_err = jnp.linalg.norm(tcp_pos[:2] - wp[:2])
+        z_gate = jnp.maximum(
+            wp[2], tcp_pos[2] - 0.8 * jnp.clip(0.012 - xy_err, 0.0, 0.012))
+        z_gate = jnp.minimum(z_gate, jnp.asarray(STACK_Z_HOVER, wp.dtype))
+        wp_ik = wp.at[2].set(jnp.where(des_ph, z_gate, wp[2]))
+        # slow the virtual trajectory near the workpiece so the PD-tracked
+        # plant stays within a few mm of it
+        rate = jnp.where(des_ph & (tcp_pos[2] < 0.12), 0.02, 0.05)
+
     dwell = (st.phase == 2) | (st.phase == 6)
-    q_new = _ik_toward(ctrl_chain, st.q_des, wp, tgt_quat)
+    q_new = _ik_toward(ctrl_chain, st.q_des, wp_ik, tgt_quat, rate=rate)
     q_des = jnp.where(dwell | (st.stage >= 3), st.q_des, q_new)
 
-    xpos, _ = chain_mod.fk(ctrl_chain, q_des)
-    reached = jnp.linalg.norm(xpos[ee] - wp) < tol
+    if tcp_pos is None:
+        tcp_pos = chain_mod.fk(ctrl_chain, q_des)[0][ee]
+    reached = jnp.linalg.norm(tcp_pos - wp) < tol
 
     hold_lim = jnp.where(st.phase == 2, STACK_HOLD_CLOSE, STACK_HOLD_OPEN)
     hold = jnp.where(dwell, st.hold + 1, 0)
     advance = jnp.where(dwell, hold >= hold_lim, reached)
     advance = advance & (st.stage < 3)
+    # missed grasp: after the close dwell the fingers are (nearly) fully
+    # closed -> nothing between them; go back to hover over the box and retry
+    missed = (width_meas < 0.02) if width_meas is not None else jnp.array(False)
+    retry = advance & (st.phase == 2) & missed
     phase = jnp.where(advance, st.phase + 1, st.phase)
+    phase = jnp.where(retry, 0, phase)
     wrap = phase > 7
     stage2 = st.stage + wrap.astype(st.stage.dtype)
     phase = jnp.where(wrap, 0, phase)
@@ -829,9 +870,11 @@ def make_stacking_runner(params, chunk_len: int = CHUNK):
         carry, order = cw
         state, es, des, done, key = carry
         key, kn = jax.random.split(key)
+        tcp_pos, _ = params.tcp_pose(state.scene)
         es2, action = stacking_expert_step(
             chain, es, state.scene.free_pos, state.scene.free_quat,
-            state.target_xy, order)
+            state.target_xy, order, tcp_pos=tcp_pos,
+            width_meas=state.scene.q[7] + state.scene.q[8])
         # executed joint setpoint carries the exploration noise; the logged
         # des_j_pos is the executed one (labels include the noise, states
         # cover its perturbations, the expert's next step corrects them)

@@ -277,8 +277,10 @@ def _make_kernel(meta):
             v = matvec(v)
             nrm = jnp.sqrt((v * v).sum(axis=(0, 1)))[None, None]
             return v / jnp.maximum(nrm, 1e-12)
-        v = jax.lax.fori_loop(0, 4, power_it, v)
-        L = jnp.maximum((v * matvec(v)).sum(axis=(0, 1)), 1.0)[None]  # [1,Bt]
+        v = jax.lax.fori_loop(0, 6, power_it, v)
+        # 1.5x safety: the Rayleigh quotient under-estimates lambda_max and a
+        # too-large step diverges (see contact.phase_core)
+        L = 1.5 * jnp.maximum((v * matvec(v)).sum(axis=(0, 1)), 1.0)[None]
         step = 1.0 / L
 
         def proj(f3):

@@ -132,8 +132,11 @@ def solve_contacts(A, b0, mu, active, n_iters: int, f0=None):
     def power(_, v):
         v = Ah @ v
         return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
-    v = jax.lax.fori_loop(0, 4, power, v)
-    L = jnp.maximum(v @ (Ah @ v), 1.0)  # scaled diag is 1 -> L >= 1
+    v = jax.lax.fori_loop(0, 6, power, v)
+    # 1.5x safety on the Rayleigh quotient, which only under-estimates
+    # lambda_max (see contact.phase_core: a 1.78x shortfall made APGD
+    # diverge on a two-finger squeeze)
+    L = 1.5 * jnp.maximum(v @ (Ah @ v), 1.0)  # scaled diag is 1 -> L >= 1
     step = 1.0 / L
 
     def proj(fh):

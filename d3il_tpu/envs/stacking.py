@@ -88,7 +88,7 @@ class StackingParams(common.RodTaskParams):
 class StackingState(NamedTuple):
     scene: estep.SceneState
     ctrl_q: jax.Array        # joint setpoint held between steps
-    grasp: jax.Array         # bool: fingers commanded closed
+    grasp: jax.Array         # int32: consecutive close-command steps
     t: jax.Array
     terminated: jax.Array
     target_xy: jax.Array
@@ -116,7 +116,13 @@ def _joint_substep(params, carry, _):
     if params.kinematic:
         w = jnp.clip(jnp.full((2,), set_width, sc.q.dtype),
                      sc.q[7:] - 0.1 * params.dt, sc.q[7:] + 0.1 * params.dt)
-        q_new = jnp.concatenate([q_des, w])
+        # rate-limit the beamed arm (3 rad/s per joint): an unlimited
+        # q_new = q_des teleports the hand on large setpoint jumps, so the
+        # finite-difference qd below reaches ~100 rad/s and contacting boxes
+        # get kicked at unbounded velocity (the round-3 grasp failure mode)
+        qa = sc.q[:7] + jnp.clip(q_des - sc.q[:7], -3.0 * params.dt,
+                                 3.0 * params.dt)
+        q_new = jnp.concatenate([qa, w])
         qd_new = (q_new - sc.q) / params.dt
         sc = params._engine_step(sc, jnp.concatenate([q_new, qd_new]))
         return (sc, q_des, set_width, grasp), None
@@ -145,7 +151,7 @@ def reset(params: StackingParams, context) -> StackingState:
         functools.partial(_joint_substep, params),
         (sc, sc.q[:7], jnp.asarray(0.04, dtype), jnp.array(False)), None, length=5)
     return StackingState(
-        scene=sc, ctrl_q=sc.q[:7], grasp=jnp.array(False),
+        scene=sc, ctrl_q=sc.q[:7], grasp=jnp.array(0, jnp.int32),
         t=jnp.array(0, jnp.int32), terminated=jnp.array(False),
         target_xy=xy[3].astype(dtype),
         mode=jnp.full(3, -1, jnp.int32), mode_len=jnp.array(0, jnp.int32),
@@ -206,13 +212,17 @@ def step(params: StackingParams, state: StackingState, action: jax.Array):
     # commanded indent per finger into the 3 cm-half boxes
     close_w = jnp.float32(0.028) if params.kinematic else jnp.float32(0.0)
     set_width = jnp.where(open_cmd, 0.04, close_w)
-    grasp = ~open_cmd
+    # close_fingers semantics (Robots.py:430-435): the first 0.5 s of a close
+    # command run the gentle -0.2 m/s velocity servo (grasp_flag False); the
+    # -20 N grasp force engages only once the fingers are seated on the box
+    close_t = jnp.where(open_cmd, 0, state.grasp + 1)
+    grasp_on = close_t > int(round(0.5 / (params.n_substeps * params.dt)))
 
     (sc, *_), _ = jax.lax.scan(
         functools.partial(_joint_substep, params),
-        (state.scene, q_des, set_width, grasp), None,
+        (state.scene, q_des, set_width, grasp_on), None,
         length=params.n_substeps)
-    state = state._replace(scene=sc, ctrl_q=q_des, grasp=grasp,
+    state = state._replace(scene=sc, ctrl_q=q_des, grasp=close_t,
                            t=state.t + 1, terminated=terminated)
     succ = _success_now(state)
     state = state._replace(success=succ, terminated=state.terminated | succ)

@@ -69,17 +69,74 @@ def inv9(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def chol(A: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky factor L (lower) of [..., n, n] SPD matrices.
+
+    Straight-line scalar DAG (n^3/6 fused multiply-adds + n sqrt/div) that
+    XLA fuses like the adjugate formulas, but — unlike the nested-Schur
+    block inverses above — is backward-stable: the Panda arm mass matrix
+    near wrist-aligned configurations makes the [:3,:3] leading block of the
+    Schur recursion nearly singular, and inv9's f32 error there reached
+    ~15% with a 0.5 asymmetry, enough to pump energy into the gravity-free
+    joints (sustained ~0.5 rad/s limit cycles under plain joint-PD hold)."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    z = jnp.zeros_like(A[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else z for j in range(n)], axis=-1)
+            for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def tri_solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled forward substitution: solve L Y = B, B [..., n, m]."""
+    n = L.shape[-1]
+    Y = [None] * n
+    for i in range(n):
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[..., i, k:k + 1] * Y[k]
+        Y[i] = s / L[..., i, i:i + 1]
+    return jnp.stack(Y, axis=-2)
+
+
+def tri_solve_upper(U: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled back substitution: solve U X = B, U upper-triangular."""
+    n = U.shape[-1]
+    X = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = B[..., i, :]
+        for k in range(i + 1, n):
+            s = s - U[..., i, k:k + 1] * X[k]
+        X[i] = s / U[..., i, i:i + 1]
+    return jnp.stack(X, axis=-2)
+
+
+def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) X = B given the Cholesky factor."""
+    return tri_solve_upper(jnp.swapaxes(L, -1, -2), tri_solve_lower(L, B))
+
+
 def inv_spd(M: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of small SPD matrices: closed-form for n in {3, 6, 9},
-    generic fallback otherwise."""
+    """Inverse of small SPD matrices by Cholesky factor + substitution
+    against I (backward-stable; explicitly symmetrized).
+
+    The former nested-Schur adjugate inverses (inv6/inv9 above, kept for the
+    tests that characterize them) lose up to 15% accuracy in f32 on Panda
+    mass matrices near wrist-aligned configurations; substitution stays at
+    the eps*cond floor (~1e-6 for cond ~1e2)."""
     n = M.shape[-1]
-    if n == 3:
-        return inv3(M)
-    if n == 6:
-        return inv6(M)
-    if n == 9:
-        return inv9(M)
-    return jnp.linalg.inv(M)
+    I = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    X = chol_solve(chol(M), I)
+    return 0.5 * (X + jnp.swapaxes(X, -1, -2))
 
 
 def clamped_spd_solve(A: jnp.ndarray, b: jnp.ndarray, lo: float) -> jnp.ndarray:

@@ -244,7 +244,10 @@ def gen_stacking(n_episodes, out_dir, seed=0):
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import stacking
 
-    params = stacking.StackingParams(kinematic=True)
+    # full dynamics: grasping needs the force-law fingers + real arm (the
+    # kinematic beam mode cannot hold a box; the reference always runs
+    # stacking under the dynamic joint tracking controller, stacking.py:156)
+    params = stacking.StackingParams(kinematic=False)
     perms = np.array(list(itertools.permutations(range(3))), np.int32)
     orders = perms[np.arange(n_episodes) % 6]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
