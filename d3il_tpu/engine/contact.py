@@ -306,15 +306,16 @@ def make_contact_phase(scene):
                 for a, b in zip(args, in_batched)]
         impl = _FORCE_IMPL
         if impl is None:
+            # Pallas needs a VMEM-legal >=128-lane tile (sub-128 tiles still
+            # occupy 128 VMEM lanes, so they can never fit a scene the full
+            # tile can't — pick_tile returns 0 for those). Big scenes
+            # (sorting_4/6, inserting) take the vmapped jnp path, which runs
+            # clean at full eval batch now that the APGD step is safe (the
+            # round-3 UNAVAILABLE device faults traced to the diverging
+            # solver, not to the jnp lowering).
             tile = contact_kernel.pick_tile(meta)
-            # Mosaic requires the lane (batch) block dim to be a multiple of
-            # 128 or the full padded array: a sub-128 tile is only legal when
-            # it covers the whole batch in one grid step. Large scenes whose
-            # VMEM working set forces tile < 128 at large batch fall back to
-            # the vmapped jnp path.
-            legal_tile = tile >= 128 or axis_size <= tile
             use_pallas = (jax.default_backend() == "tpu"
-                          and axis_size >= 64 and tile >= 32 and legal_tile)
+                          and axis_size >= 64 and tile >= 128)
             impl = "pallas" if use_pallas else "jnp"
         if impl == "pallas":
             outs = contact_kernel.phase_batched(

@@ -32,15 +32,21 @@ _VMEM_BUDGET = 6 * 1024 * 1024  # working-set target per tile (bytes)
 
 
 def pick_tile(meta) -> int:
-    """Largest batch tile (lane count) keeping the working set in VMEM."""
+    """Largest batch tile (lane count) keeping the working set in VMEM.
+
+    Returns 0 when no tile fits: VMEM lane tiles are (x, 128), so a sub-128
+    batch tile still occupies 128 lanes of VMEM — shrinking bt below 128
+    saves nothing (measured: a bt=16 sorting_6 kernel still allocated 30.8 MB
+    scoped VMEM). Scenes whose working set exceeds the budget at bt=128 use
+    the jnp path at a reduced eval batch instead."""
     n = 3 * meta.ncon
     floats = (3 * n * meta.nv                      # Jf, MinvJT, matvec temp
               + 5 * meta.ncon * max(meta.nv_r, 6) * 3   # row-assembly temps
               + 12 * n)                            # flat vectors
-    for bt in (256, 128, 64, 32):
+    for bt in (512, 256, 128):
         if floats * 4 * bt <= _VMEM_BUDGET:
             return bt
-    return 16
+    return 0
 
 
 def _b2(x, shape):
@@ -325,12 +331,8 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
                         interpret):
     B = pts.shape[0]
     bt = pick_tile(meta)
+    assert bt >= 128, "phase_batched requires a VMEM-legal tile (pick_tile)"
     B_pad = -(-B // bt) * bt
-    if bt < 128 and B_pad != bt:
-        # Mosaic: lane-dim blocks must be 128-multiples or the full array
-        raise ValueError(
-            f"contact kernel tile {bt} (<128, VMEM-bounded) only supports a "
-            f"single-block batch; got B={B}. Use the jnp contact path.")
     nf = meta.nf
 
     def to_bm(x):

@@ -140,3 +140,28 @@ def test_custom_vmap_dispatch_jnp():
         np.testing.assert_allclose(
             np.asarray(batched.scene.free_pos[i]),
             np.asarray(singles[i].scene.free_pos), atol=1e-5)
+
+
+def test_big_scene_has_no_vmem_tile_and_uses_jnp():
+    """sorting_6's contact working set exceeds any VMEM-legal (>=128 lane)
+    tile, so pick_tile reports 0 and the custom-vmap rule routes the phase
+    to the vmapped jnp path (sub-128 tiles still occupy 128 VMEM lanes, so
+    shrinking the tile cannot help — measured 30.8 MB scoped VMEM at bt=16)."""
+    from d3il_tpu.envs import sorting
+    params = sorting.SortingParams(num_boxes=6, max_steps=50)
+    meta = contact.build_meta(params.scene)
+    assert contact_kernel.pick_tile(meta) == 0
+    # and the jnp path matches per-env evaluation on a small batch
+    batch = 4
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    states = jax.jit(jax.vmap(
+        lambda k: sorting.reset(params, sorting.sample_context(k, 6))))(keys)
+    acts = jnp.concatenate(
+        [states.scene.free_pos[:, 0, :2], jnp.full((batch, 1), 0.12),
+         jnp.tile(jnp.array([[0.0, 1, 0, 0]]), (batch, 1))], axis=1)
+    batched = jax.jit(jax.vmap(
+        lambda s, a: sorting.step(params, s, a)[0]))(states, acts)
+    single = jax.jit(lambda s, a: sorting.step(params, s, a)[0])(
+        jax.tree_util.tree_map(lambda x: x[0], states), acts[0])
+    np.testing.assert_allclose(np.asarray(batched.scene.free_pos[0]),
+                               np.asarray(single.scene.free_pos), atol=1e-5)
