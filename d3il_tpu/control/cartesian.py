@@ -71,9 +71,11 @@ def step(ctrl_chain, gains: CartPosQuatGains, state: CartImpedanceState,
 
     q = state.q_virt
     des_quat = quat_ops.normalize(des_quat)
+    fk0 = chain_mod.fk(ctrl_chain, q)  # shared: iteration 1 + gate below
 
-    def ik_iter(q, des_quat):
-        xpos, xquat = chain_mod.fk(ctrl_chain, q)
+    def ik_iter(q, des_quat, fk_cache=None):
+        xpos, xquat = chain_mod.fk(ctrl_chain, q) if fk_cache is None \
+            else fk_cache
         cur_pos = xpos[ee_body]
         cur_quat = xquat[ee_body]
         # hemisphere alignment (IKControllers.py:204-207 flips des_quat)
@@ -99,8 +101,8 @@ def step(ctrl_chain, gains: CartPosQuatGains, state: CartImpedanceState,
         return q_new, dq
 
     dq = des_quat
-    for _ in range(gains.num_iter):
-        q, dq = ik_iter(q, dq)
+    for it in range(gains.num_iter):
+        q, dq = ik_iter(q, dq, fk0 if it == 0 else None)
 
     # Convergence gate: freeze the virtual trajectory once the task error is
     # at the float32 solve-noise floor. Without it, q_virt limit-cycles by
@@ -110,7 +112,7 @@ def step(ctrl_chain, gains: CartPosQuatGains, state: CartImpedanceState,
     # makes the arm sag onto the table and walk. (The reference runs this
     # exact math in float64, where the jitter sits ~5 orders lower and the
     # problem never manifests, IKControllers.py:280-281.)
-    xpos_f, xquat_f = chain_mod.fk(ctrl_chain, state.q_virt)
+    xpos_f, xquat_f = fk0   # == fk(state.q_virt)
     pos_err_raw = des_pos - xpos_f[ee_body]
     cq = xquat_f[ee_body]
     flip_f = jnp.where(jnp.sum((cq - des_quat) ** 2)

@@ -330,22 +330,40 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
                         v_all, a_smooth, free_pos, free_quat, warm,
                         interpret):
     B = pts.shape[0]
+    if meta.nf == 0:  # dummy placeholders (kernel ignores them)
+        free_pos = jnp.zeros((B, 1, 3), jnp.float32)
+        free_quat = jnp.zeros((B, 1, 4), jnp.float32)
+    bm = [jnp.moveaxis(jnp.asarray(a, jnp.float32), 0, -1)
+          for a in (pts, normal, depth, axes, anchors, Minv_arm,
+                    v_all, a_smooth, free_pos, free_quat, warm)]
+    f_bm, q_bm = phase_batched_bm(meta, *bm, interpret=interpret)
+    f = jnp.moveaxis(f_bm, -1, 0)
+    qfrc = jnp.moveaxis(q_bm, -1, 0)
+    return f, qfrc
+
+
+def phase_batched_bm(meta, pts, normal, depth, axes, anchors, Minv_arm,
+                     v_all, a_smooth, free_pos, free_quat, warm,
+                     interpret=False):
+    """Batch-MINOR entry: every arg already [..., B]; returns
+    (f [ncon, 3, B], qfrc [nv, B]). Used directly by engine/substep_bm so
+    the whole-substep batch-minor pipeline never transposes per call."""
+    B = pts.shape[-1]
     bt = pick_tile(meta)
     assert bt >= 128, "phase_batched requires a VMEM-legal tile (pick_tile)"
     B_pad = -(-B // bt) * bt
     nf = meta.nf
 
     def to_bm(x):
-        """[B, ...] -> [..., B_pad] batch-minor."""
-        x = jnp.moveaxis(jnp.asarray(x, jnp.float32), 0, -1)
+        x = jnp.asarray(x, jnp.float32)
         if B_pad != B:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, B_pad - B)]
             x = jnp.pad(x, pad)
         return x
 
-    if nf == 0:  # dummy placeholders (kernel ignores them)
-        free_pos = jnp.zeros((B, 1, 3), jnp.float32)
-        free_quat = jnp.zeros((B, 1, 4), jnp.float32)
+    if nf == 0:
+        free_pos = jnp.zeros((1, 3, B), jnp.float32)
+        free_quat = jnp.zeros((1, 4, B), jnp.float32)
     batched = [to_bm(a) for a in (pts, normal, depth, axes, anchors, Minv_arm,
                                   v_all, a_smooth, free_pos, free_quat, warm)]
     oh_a = meta.onehot_a if nf else np.zeros((meta.ncon, 1))
@@ -393,9 +411,7 @@ def _phase_batched_impl(meta, pts, normal, depth, axes, anchors, Minv_arm,
         out_specs=out_specs,
         interpret=interpret,
     )(*batched, *static)
-    f = jnp.moveaxis(f_bm[..., :B], -1, 0)
-    qfrc = jnp.moveaxis(q_bm[..., :B], -1, 0)
-    return f, qfrc
+    return f_bm[..., :B], q_bm[..., :B]
 
 
 def phase_batched(meta, *args, interpret=False):

@@ -169,11 +169,11 @@ def hold_substep(params: RodTaskParams, carry, _):
     return (sc, q_hold), None
 
 
-def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat,
-                 set_width=0.04, grasp_flag=False):
-    """n_substeps of controller + physics: IK trajectory first (its own
-    scan), model feedforward batched over the window (one vmapped dynamics
-    call instead of n_substeps sequential ones), then the physics scan."""
+def _run_substeps_single(params: RodTaskParams, sc, cs, des_pos, des_quat,
+                         set_width, grasp_flag):
+    """Per-env substep window: IK trajectory first (its own scan), model
+    feedforward batched over the window (one vmapped dynamics call instead
+    of n_substeps sequential ones), then the physics scan."""
     cs, (q_des, qd_des, qdd_des) = ik_trajectory(params, cs, des_pos, des_quat)
     if params.kinematic:
         def kin_body(sc, q_d):
@@ -194,6 +194,61 @@ def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat,
 
     sc, _ = jax.lax.scan(body, sc, (q_des, qd_des, tau_model))
     return sc, cs
+
+
+# --- batched execution: custom_vmap routes jax.vmap(step) through the
+# whole-substep batch-minor pipeline (engine/substep_bm, docs/PERF.md
+# lever 2) on TPU; everywhere else it vmaps the per-env form above.
+# None: auto. "bm"/"vmap": force (tests).
+_FORCE_SUBSTEP_IMPL = None
+_RS_WRAPPED: dict = {}
+
+
+def set_substep_impl(impl):
+    global _FORCE_SUBSTEP_IMPL
+    assert impl in (None, "bm", "vmap")
+    _FORCE_SUBSTEP_IMPL = impl
+
+
+def _wrapped_for(params: RodTaskParams):
+    key = id(params)
+    if key in _RS_WRAPPED:
+        return _RS_WRAPPED[key]
+    single = functools.partial(_run_substeps_single, params)
+    wrapped = jax.custom_batching.custom_vmap(single)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        from d3il_tpu.engine import substep_bm
+        flat, treedef = jax.tree_util.tree_flatten(tuple(args))
+        flat_b = jax.tree_util.tree_leaves(in_batched)
+        flat = [a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(flat, flat_b)]
+        sc, cs, des_pos, des_quat, sw, gf = \
+            jax.tree_util.tree_unflatten(treedef, flat)
+        impl = _FORCE_SUBSTEP_IMPL
+        if impl is None:
+            impl = "bm" if (jax.default_backend() == "tpu"
+                            and axis_size >= 64
+                            and substep_bm.supported(params)) else "vmap"
+        if impl == "bm":
+            out = substep_bm.run_substeps_bm(params, sc, cs, des_pos,
+                                             des_quat, sw, gf)
+        else:
+            out = jax.vmap(single)(sc, cs, des_pos, des_quat, sw, gf)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    _RS_WRAPPED[key] = wrapped
+    return wrapped
+
+
+def run_substeps(params: RodTaskParams, sc, cs, des_pos, des_quat,
+                 set_width=0.04, grasp_flag=False):
+    """n_substeps of controller + physics (see _run_substeps_single); under
+    jax.vmap the TPU executes the batch-minor pipeline."""
+    sw = jnp.asarray(set_width, sc.q.dtype)
+    gf = jnp.asarray(grasp_flag)
+    return _wrapped_for(params)(sc, cs, des_pos, des_quat, sw, gf)
 
 
 def init_scene_state(params: RodTaskParams, dtype=jnp.float32,

@@ -87,7 +87,8 @@ TASKS: dict[str, TaskSpec] = {
     "stacking": TaskSpec(
         "stacking", "d3il_tpu.envs.stacking", "StackingParams",
         ds.assemble_stacking, 20, 8, "StackingSim", "joint", 1000,
-        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 18}),
+        train_kw={"epochs": 100, "n_contexts": 60, "n_trajs": 18,
+                  "window": 5}),  # configs/stacking_config.yaml:50
     "inserting": TaskSpec(
         "inserting", "d3il_tpu.envs.inserting", "InsertingParams",
         ds.assemble_inserting, 13, 2, "InsertingSim", "rod", 2000,
