@@ -23,7 +23,10 @@ from d3il_tpu.agents.ddpm import TimeEmbed
 from d3il_tpu.data.scaler import Scaler
 
 SIGMA_DATA = 0.5
-SIGMA_MIN, SIGMA_MAX = 0.001, 1.0
+SIGMA_MIN, SIGMA_MAX = 0.001, 1.0         # training noise-density range
+# inference schedule range (beso_agent.yaml:115-116: sigma_min 0.1, max 1.0;
+# sampling below sigma ~0.1 chases denoiser noise and wrecked pushing)
+SAMPLE_SIGMA_MIN, SAMPLE_SIGMA_MAX = 0.1, 1.0
 
 
 class ScoreMLP(nn.Module):
@@ -50,20 +53,21 @@ def edm_denoise(model, params, s, a, sigma):
     return c_skip * a + c_out * F
 
 
-def karras_sigmas(n: int, rho: float = 7.0):
+def karras_sigmas(n: int, rho: float = 7.0, smin=SAMPLE_SIGMA_MIN,
+                  smax=SAMPLE_SIGMA_MAX):
     ramp = np.linspace(0, 1, n)
-    s = (SIGMA_MAX ** (1 / rho) + ramp * (SIGMA_MIN ** (1 / rho)
-                                          - SIGMA_MAX ** (1 / rho))) ** rho
+    s = (smax ** (1 / rho) + ramp * (smin ** (1 / rho)
+                                     - smax ** (1 / rho))) ** rho
     return jnp.asarray(np.append(s, 0.0), jnp.float32)
 
 
-def exponential_sigmas(n: int):
-    s = np.exp(np.linspace(np.log(SIGMA_MAX), np.log(SIGMA_MIN), n))
+def exponential_sigmas(n: int, smin=SAMPLE_SIGMA_MIN, smax=SAMPLE_SIGMA_MAX):
+    s = np.exp(np.linspace(np.log(smax), np.log(smin), n))
     return jnp.asarray(np.append(s, 0.0), jnp.float32)
 
 
-def linear_sigmas(n: int):
-    s = np.linspace(SIGMA_MAX, SIGMA_MIN, n)
+def linear_sigmas(n: int, smin=SAMPLE_SIGMA_MIN, smax=SAMPLE_SIGMA_MAX):
+    s = np.linspace(smax, smin, n)
     return jnp.asarray(np.append(s, 0.0), jnp.float32)
 
 
@@ -247,15 +251,17 @@ class BesoAgent:
     model: ScoreMLP
     params: Any
     scaler: Scaler
-    n_steps: int = 3
-    sampler: str = "ddim"
+    n_steps: int = 8
+    sampler: str = "euler_ancestral"
     schedule: str = "exponential"
     window_size: int = 1
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, hidden_dim=256,
-               num_hidden_layers=4, n_steps=3, sampler="ddim",
+               num_hidden_layers=4, n_steps=8, sampler="euler_ancestral",
                schedule="exponential", window_size=1, **_):
+        # defaults follow configs/agents/beso_agent.yaml:107-116
+        # (num_sampling_steps 8, euler_ancestral)
         model = ScoreMLP(hidden_dim=hidden_dim,
                          num_hidden_layers=num_hidden_layers,
                          action_dim=action_dim)

@@ -64,7 +64,8 @@ TASKS: dict[str, TaskSpec] = {
     "pushing": TaskSpec(
         "pushing", "d3il_tpu.envs.pushing", "PushingParams",
         ds.assemble_pushing, 10, 2, "PushingSim", "rod", 400,
-        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16}),
+        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16,
+                  "window": 5}),  # configs/pushing_config.yaml:57
     "aligning": TaskSpec(
         "aligning", "d3il_tpu.envs.aligning", "AligningParams",
         ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400,
