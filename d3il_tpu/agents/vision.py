@@ -321,3 +321,293 @@ class VisionBeTAgent:
     def init_carry(self, obs_dim, key=None):
         del obs_dim
         return (key if key is not None else jax.random.PRNGKey(0),)
+
+
+class VisionGMMNet(nn.Module):
+    action_dim: int = 2
+    hidden_dim: int = 256
+    num_hidden_layers: int = 4
+    n_gaussians: int = 8
+    min_std: float = 1e-2
+
+    @nn.compact
+    def __call__(self, bp, ih, low):
+        feat = _VisionCore()(bp, ih, low)
+        h = mish(ResidualMLP(self.hidden_dim, self.num_hidden_layers,
+                             self.hidden_dim)(feat))
+        K, D = self.n_gaussians, self.action_dim
+        means = nn.Dense(K * D)(h).reshape(h.shape[:-1] + (K, D))
+        stds = jax.nn.softplus(nn.Dense(K * D)(h)).reshape(
+            h.shape[:-1] + (K, D)) + self.min_std
+        logits = nn.Dense(K)(h)
+        return means, stds, logits
+
+
+@dataclass
+class VisionGMMAgent:
+    """bc_gmm vision variant (reference gmm head on encoder features)."""
+    model: VisionGMMNet
+    params: Any
+    scaler: Scaler
+    render_fn: Callable
+    window_size: int = 1
+    low_noise_eval: bool = True
+
+    @staticmethod
+    def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
+               res: int = 96, hidden_dim=256, num_hidden_layers=4,
+               n_gaussians=8, **_):
+        del obs_dim
+        model = VisionGMMNet(action_dim=action_dim, hidden_dim=hidden_dim,
+                             num_hidden_layers=num_hidden_layers,
+                             n_gaussians=n_gaussians)
+        params = model.init(key, *_dummy_batch(low_dim, res))
+        return VisionGMMAgent(model=model, params=params, scaler=scaler,
+                              render_fn=render_fn)
+
+    def loss_fn(self):
+        from d3il_tpu.agents.gmm import gmm_log_prob
+        model, scaler, render = self.model, self.scaler, self.render_fn
+
+        def loss(params, obs_w, act_w, key):
+            bp, ih, low = jax.vmap(render)(obs_w[:, -1])
+            a = scaler.scale_output(act_w[:, -1])
+            means, stds, logits = model.apply(params, bp, ih,
+                                              _scale_low(scaler, low))
+            return -jnp.mean(gmm_log_prob(means, stds, logits, a))
+
+        return loss
+
+    def policy_apply(self):
+        model, scaler, render = self.model, self.scaler, self.render_fn
+        low_noise = self.low_noise_eval
+
+        def apply(params, carry, obs):
+            key, = carry
+            bp, ih, low = render(obs)
+            means, stds, logits = model.apply(params, bp[None], ih[None],
+                                              _scale_low(scaler, low)[None])
+            key, k1, k2 = jax.random.split(key, 3)
+            comp = jax.random.categorical(k1, logits[0])
+            std = jnp.where(low_noise, 1e-4, 1.0) * stds[0, comp]
+            a = means[0, comp] + std * jax.random.normal(k2, std.shape)
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
+            return (key,), act
+
+        return apply
+
+    def init_carry(self, obs_dim, key=None):
+        del obs_dim
+        return (key if key is not None else jax.random.PRNGKey(0),)
+
+
+class VisionCVAENet(nn.Module):
+    action_dim: int = 2
+    hidden_dim: int = 256
+    num_hidden_layers: int = 4
+    latent_dim: int = 8
+
+    def setup(self):
+        self.core = _VisionCore()
+        self.enc = ResidualMLP(self.hidden_dim, 2, 2 * self.latent_dim)
+        self.dec = ResidualMLP(self.hidden_dim, self.num_hidden_layers,
+                               self.action_dim)
+
+    def encode_feat(self, bp, ih, low):
+        return self.core(bp, ih, low)
+
+    def posterior(self, feat, a):
+        mo = self.enc(jnp.concatenate([feat, a], axis=-1))
+        return mo[..., :self.latent_dim], mo[..., self.latent_dim:]
+
+    def decode(self, feat, z):
+        return self.dec(jnp.concatenate([feat, z], axis=-1))
+
+    def __call__(self, bp, ih, low, a, key):
+        feat = self.encode_feat(bp, ih, low)
+        mu, logvar = self.posterior(feat, a)
+        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape)
+        return self.decode(feat, z), mu, logvar
+
+
+@dataclass
+class VisionCVAEAgent:
+    """cvae vision variant (cvae_vision_agent.py: VAE over actions with the
+    encoder features as condition; KL-regularized reconstruction)."""
+    model: VisionCVAENet
+    params: Any
+    scaler: Scaler
+    render_fn: Callable
+    kl_weight: float = 1.0
+    window_size: int = 1
+
+    @staticmethod
+    def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
+               res: int = 96, hidden_dim=256, num_hidden_layers=4,
+               latent_dim=8, kl_weight=1.0, **_):
+        del obs_dim
+        model = VisionCVAENet(action_dim=action_dim, hidden_dim=hidden_dim,
+                              num_hidden_layers=num_hidden_layers,
+                              latent_dim=latent_dim)
+        params = model.init(key, *_dummy_batch(low_dim, res),
+                            jnp.zeros((1, action_dim)), jax.random.PRNGKey(0))
+        return VisionCVAEAgent(model=model, params=params, scaler=scaler,
+                               render_fn=render_fn, kl_weight=kl_weight)
+
+    def loss_fn(self):
+        model, scaler, render, beta = (self.model, self.scaler,
+                                       self.render_fn, self.kl_weight)
+
+        def loss(params, obs_w, act_w, key):
+            bp, ih, low = jax.vmap(render)(obs_w[:, -1])
+            a = scaler.scale_output(act_w[:, -1])
+            rec, mu, logvar = model.apply(params, bp, ih,
+                                          _scale_low(scaler, low), a, key)
+            rec_l = jnp.mean((rec - a) ** 2)
+            kl = -0.5 * jnp.mean(1 + logvar - mu ** 2 - jnp.exp(logvar))
+            return rec_l + beta * kl
+
+        return loss
+
+    def policy_apply(self):
+        model, scaler, render = self.model, self.scaler, self.render_fn
+        zdim = self.model.latent_dim
+
+        def apply(params, carry, obs):
+            key, = carry
+            bp, ih, low = render(obs)
+            feat = model.apply(params, bp[None], ih[None],
+                               _scale_low(scaler, low)[None],
+                               method=VisionCVAENet.encode_feat)
+            key, k1 = jax.random.split(key)
+            z = jax.random.normal(k1, (1, zdim))
+            a = model.apply(params, feat, z, method=VisionCVAENet.decode)[0]
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
+            return (key,), act
+
+        return apply
+
+    def init_carry(self, obs_dim, key=None):
+        del obs_dim
+        return (key if key is not None else jax.random.PRNGKey(0),)
+
+
+class VisionBesoNet(nn.Module):
+    """Encoder + EDM score head (beso_vision_agent.yaml composition)."""
+    action_dim: int = 2
+    hidden_dim: int = 256
+    num_hidden_layers: int = 4
+    t_dim: int = 16
+
+    def setup(self):
+        self.core = _VisionCore()
+        self.temb = TimeEmbed(self.t_dim)
+        self.head = ResidualMLP(self.hidden_dim, self.num_hidden_layers,
+                                self.action_dim)
+
+    def encode(self, bp, ih, low):
+        return self.core(bp, ih, low)
+
+    def score(self, feat, a, sigma):
+        e = self.temb(jnp.log(sigma) / 4.0)
+        return self.head(jnp.concatenate([feat, a, e], axis=-1))
+
+    def __call__(self, bp, ih, low, a, sigma):
+        return self.score(self.encode(bp, ih, low), a, sigma)
+
+
+@dataclass
+class VisionBesoAgent:
+    """beso vision variant: EDM denoising on encoder features with the
+    k-diffusion samplers of the state BesoAgent."""
+    model: VisionBesoNet
+    params: Any
+    scaler: Scaler
+    render_fn: Callable
+    n_steps: int = 8
+    sampler: str = "euler_ancestral"
+    schedule: str = "exponential"
+    window_size: int = 1
+
+    @staticmethod
+    def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
+               res: int = 96, hidden_dim=256, num_hidden_layers=4,
+               n_steps=8, sampler="euler_ancestral", schedule="exponential",
+               **_):
+        del obs_dim
+        model = VisionBesoNet(action_dim=action_dim, hidden_dim=hidden_dim,
+                              num_hidden_layers=num_hidden_layers)
+        params = model.init(key, *_dummy_batch(low_dim, res),
+                            jnp.zeros((1, action_dim)), jnp.ones((1,)))
+        return VisionBesoAgent(model=model, params=params, scaler=scaler,
+                               render_fn=render_fn, n_steps=n_steps,
+                               sampler=sampler, schedule=schedule)
+
+    def loss_fn(self):
+        from d3il_tpu.agents import beso as beso_mod
+        model, scaler, render = self.model, self.scaler, self.render_fn
+
+        def loss(params, obs_w, act_w, key):
+            B = obs_w.shape[0]
+            bp, ih, low = jax.vmap(render)(obs_w[:, -1])
+            feat_low = _scale_low(scaler, low)
+            a0 = scaler.scale_output(act_w[:, -1])
+            k1, k2 = jax.random.split(key)
+            u = jax.random.uniform(k1, (B,))
+            sigma = jnp.exp(u * (jnp.log(beso_mod.SIGMA_MAX)
+                                 - jnp.log(beso_mod.SIGMA_MIN))
+                            + jnp.log(beso_mod.SIGMA_MIN))
+            noise = jax.random.normal(k2, a0.shape)
+            a_noisy = a0 + sigma[:, None] * noise
+
+            def denoiser(s_feat, a, sig):
+                sd = beso_mod.SIGMA_DATA
+                sigc = sig[..., None]
+                c_skip = sd ** 2 / (sigc ** 2 + sd ** 2)
+                c_out = sigc * sd / jnp.sqrt(sigc ** 2 + sd ** 2)
+                c_in = 1.0 / jnp.sqrt(sigc ** 2 + sd ** 2)
+                F = model.apply(params, bp, ih, s_feat, c_in * a, sig)
+                return c_skip * a + c_out * F
+
+            den = denoiser(feat_low, a_noisy, sigma)
+            sd = beso_mod.SIGMA_DATA
+            w = (sigma ** 2 + sd ** 2) / (sigma * sd) ** 2
+            return jnp.mean(w[:, None] * (den - a0) ** 2)
+
+        return loss
+
+    def policy_apply(self):
+        from d3il_tpu.agents import beso as beso_mod
+        model, scaler, render = self.model, self.scaler, self.render_fn
+        sigmas = beso_mod.SIGMA_SCHEDULES[self.schedule](self.n_steps)
+        sampler_fn = beso_mod.SAMPLERS[self.sampler]
+        sd = beso_mod.SIGMA_DATA
+
+        def apply(params, carry, obs):
+            key, = carry
+            bp, ih, low = render(obs)
+            feat = model.apply(params, bp[None], ih[None],
+                               _scale_low(scaler, low)[None],
+                               method=VisionBesoNet.encode)
+
+            def denoise(a, sigma):
+                sig = jnp.broadcast_to(sigma, (1,))[..., None]
+                c_skip = sd ** 2 / (sig ** 2 + sd ** 2)
+                c_out = sig * sd / jnp.sqrt(sig ** 2 + sd ** 2)
+                c_in = 1.0 / jnp.sqrt(sig ** 2 + sd ** 2)
+                F = model.apply(params, feat, c_in * a, sig[..., 0],
+                                method=VisionBesoNet.score)
+                return c_skip * a + c_out * F
+
+            key, k0, k1 = jax.random.split(key, 3)
+            a = jax.random.normal(k0, (1, scaler.y_mean.shape[-1])) \
+                * beso_mod.SIGMA_MAX
+            a = sampler_fn(denoise, a, sigmas, k1)[0]
+            act = scaler.inverse_scale_output(scaler.clip_action(a))
+            return (key,), act
+
+        return apply
+
+    def init_carry(self, obs_dim, key=None):
+        del obs_dim
+        return (key if key is not None else jax.random.PRNGKey(0),)

@@ -137,8 +137,14 @@ def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active,
 
 
 def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
-                        seq_box, seq_tgt, push_depth=PUSH_DEPTH):
-    """seq_box [2] int, seq_tgt [2,2]: per-mode (box, target) order."""
+                        seq_box, seq_tgt, push_depth=PUSH_DEPTH,
+                        push_step=0.006, lead=0.04):
+    """seq_box [2] int, seq_tgt [2,2]: per-mode (box, target) order.
+
+    push_step/lead: how fast the setpoint carrot advances and how far it may
+    run ahead of the physical tcp. Dynamic mode needs a faster carrot (the
+    impedance-tracked plant pushes at ~0.8 mm/step with the kinematic
+    values, overrunning the 400-step horizon)."""
     stage = jnp.minimum(st.stage, 1)
     b = seq_box[stage]
     tgt = seq_tgt[stage]
@@ -166,7 +172,8 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     others = jnp.ones(boxes_xy.shape[0], bool)
     nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others)
     push_pt = bpos - u * push_depth
-    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, 0.006), tcp_xy, 0.04)
+    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, push_step), tcp_xy,
+                           lead)
 
     nxt = jnp.where(phase == 1, nxt_push, nxt_app)
     new_stage = st.stage + stage_done.astype(st.stage.dtype)
@@ -730,8 +737,10 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
         key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         boxes = state.scene.free_pos[:, :2]
+        pstep, plead = (0.006, 0.04) if params.kinematic else (0.012, 0.06)
         es2, delta = pushing_expert_step(es, des, tcp[:2], boxes, seq_box,
-                                         seq_tgt, push_depth=depth)
+                                         seq_tgt, push_depth=depth,
+                                         push_step=pstep, lead=plead)
         noise = jax.random.normal(kn, des.shape) * DES_NOISE
         des2 = jnp.where(done, des,
                          des + jnp.clip(delta + noise, -0.011, 0.011))

@@ -55,5 +55,12 @@ class Scaler(NamedTuple):
         return y * (self.y_std + _EPS) + self.y_mean
 
     def clip_action(self, y):
-        """Clamp to 1.1x the scaled data bounds (scaler.py:125-127)."""
+        """Clamp to 1.1x the scaled data bounds (scaler.py:125-127).
+
+        NaN-safe: jnp.clip propagates NaN, and a NaN action from a diverged
+        policy walks through env state into the contact path, where it can
+        hard-fault the TPU runtime (observed: one unstable training run
+        poisoned every subsequent eval in the sweep process). Diverged
+        policies produce (bounded) garbage actions instead."""
+        y = jnp.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
         return jnp.clip(y, self.y_bounds[0] * 1.1, self.y_bounds[1] * 1.1)

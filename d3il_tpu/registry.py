@@ -144,6 +144,12 @@ AGENTS: dict[str, AgentSpec] = {
     "bet_mlp_vision": AgentSpec("bet_mlp_vision", "d3il_tpu.agents.vision",
                                 "VisionBeTAgent", needs_actions=True,
                                 vision=True),
+    "gmm_vision": AgentSpec("gmm_vision", "d3il_tpu.agents.vision",
+                            "VisionGMMAgent", vision=True),
+    "cvae_vision": AgentSpec("cvae_vision", "d3il_tpu.agents.vision",
+                             "VisionCVAEAgent", vision=True),
+    "beso_vision": AgentSpec("beso_vision", "d3il_tpu.agents.vision",
+                             "VisionBesoAgent", ema_decay=0.995, vision=True),
 }
 
 

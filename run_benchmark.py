@@ -28,6 +28,31 @@ import run_train  # noqa: E402  (performs the backend env setup)
 from d3il_tpu import registry  # noqa: E402
 
 
+def _run_row(over: dict) -> dict:
+    """One (task, agent, seed) row in a SUBPROCESS.
+
+    A diverged policy or tunnel hiccup can hard-fault the TPU runtime, and a
+    faulted device poisons every later jax call in the same process (one bad
+    row used to turn the rest of the sweep into UNAVAILABLE error rows).
+    Each row gets a fresh process; the row JSON is the last stdout line."""
+    import subprocess
+    cmd = [sys.executable, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "run_train.py")]
+    for k, v in over.items():
+        if isinstance(v, bool):
+            if v:
+                cmd.append(f"--{k.replace('_', '-')}")
+        elif v is not None:
+            cmd += [f"--{k.replace('_', '-')}", str(v)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"row subprocess failed (rc {proc.returncode}):\n"
+            + (proc.stderr or "")[-800:])
+    return json.loads(lines[-1])
+
+
 def load_done(path):
     done = set()
     if os.path.exists(path):
@@ -88,7 +113,7 @@ def main():
                 t0 = time.time()
                 print(f"[run ] {task} {agent} seed {seed}")
                 try:
-                    row = run_train.run_one(run_train.make_args(**over))
+                    row = _run_row(over)
                 except Exception:
                     traceback.print_exc()
                     row = {"task": task, "agent": agent, "seed": seed,

@@ -222,7 +222,14 @@ def _parser():
 
 
 def main():
-    args = _parser().parse_args()
+    ap = _parser()
+    args = ap.parse_args()
+    # apply the task's tuned defaults for any arg the user left at the CLI
+    # default (same semantics as make_args, so subprocess sweeps match
+    # in-process ones)
+    for k, v in registry.TASKS[args.task].train_kw.items():
+        if getattr(args, k) == ap.get_default(k):
+            setattr(args, k, v)
     print(json.dumps(run_one(args)))
 
 

@@ -162,3 +162,33 @@ def test_depth_seg_pointcloud():
     # box-top points sit at the box top surface (z = 0.011 + 0.03)
     box_pts = pts.reshape(64, 64, 3)[np.asarray(seg) == 0]
     assert abs(np.median(box_pts[:, 2]) - 0.041) < 5e-3
+
+
+def test_vision_gmm_cvae_beso_smoke():
+    """Round-4 vision heads (gmm/cvae/beso): one train step + one action."""
+    from d3il_tpu.agents.vision import (VisionGMMAgent, VisionCVAEAgent,
+                                        VisionBesoAgent)
+    from d3il_tpu.data import dataset as ds
+    from d3il_tpu.data.scaler import Scaler
+    from d3il_tpu.vision import taskviews
+
+    render = taskviews.make_pushing_view(res=32)
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(0.3, 0.7, size=(2, 10, 10)).astype(np.float32)
+    act = rng.normal(scale=0.01, size=(2, 10, 2)).astype(np.float32)
+    d = ds.build([(obs[i], act[i]) for i in range(2)], 10, 1)
+    x, y = ds.all_valid(d)
+    scaler = Scaler.fit(x, y)
+    key = jax.random.PRNGKey(0)
+    ow, aw = ds.sample_windows(d, key, 4, 1)
+
+    for cls, kw in ((VisionGMMAgent, dict(n_gaussians=4)),
+                    (VisionCVAEAgent, dict(latent_dim=4)),
+                    (VisionBesoAgent, dict(n_steps=2))):
+        agent = cls.create(key, 10, 2, scaler, render, low_dim=4, res=32,
+                           hidden_dim=32, num_hidden_layers=2, **kw)
+        l = jax.jit(agent.loss_fn())(agent.params, ow, aw, key)
+        assert np.isfinite(float(l)), cls.__name__
+        _, a = jax.jit(agent.policy_apply())(
+            agent.params, agent.init_carry(10, key), jnp.asarray(obs[0, 0]))
+        assert np.isfinite(np.asarray(a)).all(), cls.__name__
