@@ -59,11 +59,16 @@ class BCAgent:
 
         def apply(params, carry, obs):
             window, filled = carry
-            window = jnp.concatenate([window[1:], obs[None]], axis=0)
+            shifted = jnp.concatenate([window[1:], obs[None]], axis=0)
+            # before the window fills, repeat the oldest available obs —
+            # done by seeding all W rows with the FIRST obs (gather-free;
+            # the old dynamic-index form idx=max(arange, W-filled) faulted
+            # the TPU runtime inside long batched rollouts)
+            window = jnp.where(filled == 0,
+                               jnp.broadcast_to(obs[None], shifted.shape),
+                               shifted)
             filled = jnp.minimum(filled + 1, W)
-            # before the window fills, repeat the oldest available obs
-            idx = jnp.maximum(jnp.arange(W), W - filled)
-            w = window[idx]
+            w = window
             x = scaler.scale_input(w).reshape(-1)
             pred = model.apply(params, x[None])[0]
             act = scaler.inverse_scale_output(scaler.clip_action(pred))

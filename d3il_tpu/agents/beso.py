@@ -301,10 +301,16 @@ class BesoAgent:
 
         def apply(params, carry, obs):
             window, filled, key = carry
-            window = jnp.concatenate([window[1:], obs[None]], axis=0)
+            shifted = jnp.concatenate([window[1:], obs[None]], axis=0)
+            # before the window fills, repeat the oldest available obs —
+            # done by seeding all W rows with the FIRST obs (gather-free;
+            # the old dynamic-index form idx=max(arange, W-filled) faulted
+            # the TPU runtime inside long batched rollouts)
+            window = jnp.where(filled == 0,
+                               jnp.broadcast_to(obs[None], shifted.shape),
+                               shifted)
             filled = jnp.minimum(filled + 1, W)
-            idx = jnp.maximum(jnp.arange(W), W - filled)
-            s = scaler.scale_input(window[idx]).reshape(1, -1)
+            s = scaler.scale_input(window).reshape(1, -1)
 
             def denoise(a, sigma):
                 return edm_denoise(model, params, s, a,

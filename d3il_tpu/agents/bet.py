@@ -140,10 +140,16 @@ class BeTAgent:
 
         def apply(params, carry, obs):
             window, filled, key = carry
-            window = jnp.concatenate([window[1:], obs[None]], axis=0)
+            shifted = jnp.concatenate([window[1:], obs[None]], axis=0)
+            # before the window fills, repeat the oldest available obs —
+            # done by seeding all W rows with the FIRST obs (gather-free;
+            # the old dynamic-index form idx=max(arange, W-filled) faulted
+            # the TPU runtime inside long batched rollouts)
+            window = jnp.where(filled == 0,
+                               jnp.broadcast_to(obs[None], shifted.shape),
+                               shifted)
             filled = jnp.minimum(filled + 1, W)
-            idx = jnp.maximum(jnp.arange(W), W - filled)
-            w = scaler.scale_input(window[idx])
+            w = scaler.scale_input(window)
             if use_gpt:
                 logits, offsets = model.apply(params, w[None])
                 logits, offsets = logits[0, -1], offsets[0, -1]
