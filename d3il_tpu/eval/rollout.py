@@ -35,55 +35,72 @@ def _freeze(mask, new, old):
         lambda n, o: jnp.where(jnp.reshape(mask, (1,) * n.ndim), o, n), new, old)
 
 
+def make_rod_stepper(params, reset_fn, step_fn, observe_fn, policy_apply,
+                     pos_dim: int = 2):
+    """(init, body) pair for the Cartesian-delta tasks — the building blocks
+    of both the one-dispatch rollout below and the chunked driver in
+    eval/sims.py (tunneled-TPU dispatches must stay under the RPC limit).
+
+    init(policy_params, policy_carry0, context) -> carry
+    body(policy_params, carry) -> carry   (one env step; frozen when done)
+    """
+    def init(policy_params, policy_carry0, context):
+        state = reset_fn(params, context)
+        tcp_pos, _ = params.tcp_pose(state.scene)
+        obs0 = observe_fn(params, state)
+        return (state, policy_carry0, tcp_pos[:pos_dim], obs0,
+                jnp.array(False), tcp_pos[2:3])
+
+    def body(policy_params, carry):
+        state, pc, prev_pos, prev_obs, finished, fixed_z = carry
+        obs_policy = jnp.concatenate([prev_pos, prev_obs])
+        pc2, delta = policy_apply(policy_params, pc, obs_policy)
+        # the reference envs bound the per-step delta (action_space
+        # Box(+-0.01), pushing.py:203-205)
+        abs_pos = jnp.clip(delta[:pos_dim], -0.01, 0.01) + prev_pos
+        if pos_dim == 2:
+            pos3 = jnp.concatenate([abs_pos, fixed_z])
+        else:
+            pos3 = abs_pos
+        action = jnp.concatenate(
+            [pos3, jnp.array([0.0, 1.0, 0.0, 0.0], abs_pos.dtype)])
+        new_state, res = step_fn(params, state, action)
+        state2 = _freeze(finished, new_state, state)
+        pc2 = _freeze(finished, pc2, pc)
+        new_pos = jnp.where(finished, prev_pos, abs_pos)
+        new_obs = jnp.where(finished, prev_obs, res.obs)
+        now_finished = finished | res.done
+        return (state2, pc2, new_pos, new_obs, now_finished, fixed_z)
+
+    return init, body
+
+
 def make_rod_rollout(params, reset_fn, step_fn, observe_fn, policy_apply,
                      max_steps: int | None = None, pos_dim: int = 2):
-    """Build a jittable single-episode rollout for the Cartesian-delta tasks
-    (Avoiding/Pushing/Sorting: delta-xy, pos_dim=2; Aligning: delta-xyz,
-    pos_dim=3 per aligning_sim.py:105-116).
+    """Single-dispatch episode rollout (see make_rod_stepper).
 
-    policy_apply(policy_params, carry, obs) -> (carry, delta_action)
     Returns rollout(policy_params, policy_carry0, context)
       -> (final env state, dones [T]).
     """
     T = max_steps if max_steps is not None else params.max_steps
+    init, body = make_rod_stepper(params, reset_fn, step_fn, observe_fn,
+                                  policy_apply, pos_dim)
 
     def rollout(policy_params, policy_carry0, context):
-        state = reset_fn(params, context)
-        tcp_pos, _ = params.tcp_pose(state.scene)
-        fixed_z = tcp_pos[2:3]
-        obs0 = observe_fn(params, state)
-
-        def body(carry, _):
-            state, pc, prev_pos, prev_obs, finished = carry
-            obs_policy = jnp.concatenate([prev_pos, prev_obs])
-            pc2, delta = policy_apply(policy_params, pc, obs_policy)
-            # the reference envs bound the per-step delta (action_space
-            # Box(+-0.01), pushing.py:203-205)
-            abs_pos = jnp.clip(delta[:pos_dim], -0.01, 0.01) + prev_pos
-            if pos_dim == 2:
-                pos3 = jnp.concatenate([abs_pos, fixed_z])
-            else:
-                pos3 = abs_pos
-            action = jnp.concatenate(
-                [pos3, jnp.array([0.0, 1.0, 0.0, 0.0], abs_pos.dtype)])
-            new_state, res = step_fn(params, state, action)
-            state2 = _freeze(finished, new_state, state)
-            pc2 = _freeze(finished, pc2, pc)
-            new_pos = jnp.where(finished, prev_pos, abs_pos)
-            new_obs = jnp.where(finished, prev_obs, res.obs)
-            now_finished = finished | res.done
-            return (state2, pc2, new_pos, new_obs, now_finished), res.done
-
-        init = (state, policy_carry0, tcp_pos[:pos_dim], obs0, jnp.array(False))
-        (state, _, _, _, _), dones = jax.lax.scan(body, init, None, length=T)
-        return state, dones
+        def scan_body(carry, _):
+            carry = body(policy_params, carry)
+            return carry, carry[4]
+        carry0 = init(policy_params, policy_carry0, context)
+        carry, dones = jax.lax.scan(scan_body, carry0, None, length=T)
+        return carry[0], dones
 
     return rollout
 
 
-def make_joint_rollout(params, reset_fn, step_fn, observe_fn, robot_state_fn,
-                       policy_apply, max_steps: int | None = None):
-    """Joint-space rollout for Stacking (stacking_sim.py:92-141):
+def make_joint_stepper(params, reset_fn, step_fn, observe_fn, robot_state_fn,
+                       policy_apply):
+    """(init, body) pair for the joint-space Stacking rollout
+    (stacking_sim.py:92-141):
 
       obs_policy = concat(prev_action8, env_obs)       # 8 + 12 = 20 dims
       pred = policy(obs_policy); q_des = pred[:7] + prev_action8[:7]
@@ -91,28 +108,42 @@ def make_joint_rollout(params, reset_fn, step_fn, observe_fn, robot_state_fn,
 
     prev_action8 initialized from robot_state() after reset (j_pos + width).
     """
-    T = max_steps if max_steps is not None else params.max_steps
-
-    def rollout(policy_params, policy_carry0, context):
+    def init(policy_params, policy_carry0, context):
         state = reset_fn(params, context)
         prev_a = robot_state_fn(params, state)
         obs0 = observe_fn(params, state)
+        return (state, policy_carry0, prev_a, obs0, jnp.array(False))
 
-        def body(carry, _):
-            state, pc, prev_a, prev_obs, finished = carry
-            obs_policy = jnp.concatenate([prev_a, prev_obs])
-            pc2, pred = policy_apply(policy_params, pc, obs_policy)
-            action = jnp.concatenate([pred[:7] + prev_a[:7], pred[7:8]])
-            new_state, res = step_fn(params, state, action)
-            state2 = _freeze(finished, new_state, state)
-            pc2 = _freeze(finished, pc2, pc)
-            new_a = jnp.where(finished, prev_a, action)
-            new_obs = jnp.where(finished, prev_obs, res.obs)
-            now_finished = finished | res.done
-            return (state2, pc2, new_a, new_obs, now_finished), res.done
+    def body(policy_params, carry):
+        state, pc, prev_a, prev_obs, finished = carry
+        obs_policy = jnp.concatenate([prev_a, prev_obs])
+        pc2, pred = policy_apply(policy_params, pc, obs_policy)
+        action = jnp.concatenate([pred[:7] + prev_a[:7], pred[7:8]])
+        new_state, res = step_fn(params, state, action)
+        state2 = _freeze(finished, new_state, state)
+        pc2 = _freeze(finished, pc2, pc)
+        new_a = jnp.where(finished, prev_a, action)
+        new_obs = jnp.where(finished, prev_obs, res.obs)
+        now_finished = finished | res.done
+        return (state2, pc2, new_a, new_obs, now_finished)
 
-        init = (state, policy_carry0, prev_a, obs0, jnp.array(False))
-        (state, _, _, _, _), dones = jax.lax.scan(body, init, None, length=T)
-        return state, dones
+    return init, body
+
+
+def make_joint_rollout(params, reset_fn, step_fn, observe_fn, robot_state_fn,
+                       policy_apply, max_steps: int | None = None):
+    """Single-dispatch joint-space rollout (see make_joint_stepper)."""
+    T = max_steps if max_steps is not None else params.max_steps
+    init, body = make_joint_stepper(params, reset_fn, step_fn, observe_fn,
+                                    robot_state_fn, policy_apply)
+
+    def rollout(policy_params, policy_carry0, context):
+        def scan_body(carry, _):
+            carry = body(policy_params, carry)
+            return carry, carry[4]
+        carry, dones = jax.lax.scan(
+            scan_body, init(policy_params, policy_carry0, context), None,
+            length=T)
+        return carry[0], dones
 
     return rollout

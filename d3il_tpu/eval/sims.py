@@ -52,6 +52,49 @@ def _grid(n_contexts: int, n_trajs: int, seed: int):
     return jnp.asarray(cidx), keys
 
 
+# One device dispatch per CHUNK env steps: a single dispatch spanning the
+# whole episode horizon (e.g. 1000 stacking steps ~ 2.5 min) trips the
+# tunneled TPU's RPC window and hard-faults the device (the expert demo
+# runners chunk for the same reason, data/experts_jax.py CHUNK).
+EVAL_CHUNK_STEPS = 200
+
+
+def _run_episodes(stepper, agent, ctx_of, grid_args, T: int, obs_dim: int,
+                  chunk: int = EVAL_CHUNK_STEPS):
+    """Advance every episode T env steps in host-dispatched chunks.
+
+    stepper: (init, body) from rollout.make_rod_stepper /
+    make_joint_stepper; ctx_of(*grid_args_without_key) -> context pytree;
+    grid_args: batched arrays, the LAST one is the per-episode PRNG key.
+    Returns the final env state batch [B, ...]."""
+    init, body = stepper
+
+    def init_one(*args):
+        *rest, key = args
+        ctx = ctx_of(*rest)
+        return init(agent.params, agent.init_carry(obs_dim, key), ctx)
+
+    carry = pmesh.run_sharded(init_one, *grid_args)
+    body_v = jax.vmap(lambda c: body(agent.params, c))
+    compiled = {}
+
+    def run_chunk(carry, k):
+        if k not in compiled:
+            def f(c):
+                return jax.lax.scan(lambda cc, _: (body_v(cc), None), c,
+                                    None, length=k)[0]
+            compiled[k] = jax.jit(f)
+        return compiled[k](carry)
+
+    n = 0
+    while n < T:
+        k = min(chunk, T - n)
+        carry = run_chunk(carry, k)
+        jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        n += k
+    return carry[0]
+
+
 @dataclass
 class AvoidingSim:
     """avoiding_sim.py: no contexts; N trajectories, entropy base 24.
@@ -63,22 +106,17 @@ class AvoidingSim:
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import avoiding as env
         params = params or avoiding_params()
-        roll = rollout.make_rod_rollout(
+        stepper = rollout.make_rod_stepper(
             params, lambda p, c: env.reset(p), env.step, env.get_observation,
             agent.policy_apply())
         obs_dim = 4  # des xy + cur xy (avoiding_sim.py:60-66)
-
-        def run_one(key):
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, None)
-            return state.success, state.mode_encoding
-
         keys = jax.random.split(jax.random.PRNGKey(self.seed + 1),
                                 self.n_trajectories)
-        succ, enc = pmesh.run_sharded(run_one, keys)
-        jax.block_until_ready(succ)
+        state = _run_episodes(stepper, agent, lambda: None, (keys,),
+                              params.max_steps, obs_dim)
         return {k: float(v) for k, v in metrics.avoiding_score(
-            jnp.asarray(succ, jnp.float32), jnp.asarray(enc)).items()}
+            jnp.asarray(state.success, jnp.float32),
+            jnp.asarray(state.mode_encoding)).items()}
 
 
 @dataclass
@@ -94,7 +132,7 @@ class PushingSim:
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import pushing as env
         params = params or pushing_params()
-        roll = rollout.make_rod_rollout(
+        stepper = rollout.make_rod_stepper(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply())
         ctxs = _fixed_or_sampled(ref_contexts.pushing_contexts,
@@ -102,20 +140,13 @@ class PushingSim:
                                  self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
-        obs_dim = 10
-
-        def run_one(ci, key):
-            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, ctx)
-            return state.success, state.mode
-
-        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
-        jax.block_until_ready(succ)
+        ctx_of = lambda ci: jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+        state = _run_episodes(stepper, agent, ctx_of, (cidx, keys),
+                              params.max_steps, 10)
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.pushing_score(
-            jnp.asarray(succ, jnp.float32).reshape(C, T),
-            jnp.asarray(modes).reshape(C, T)).items()}
+            jnp.asarray(state.success, jnp.float32).reshape(C, T),
+            jnp.asarray(state.mode).reshape(C, T)).items()}
 
 
 @dataclass
@@ -130,7 +161,7 @@ class AligningSim:
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import aligning as env
         params = params or aligning_params()
-        roll = rollout.make_rod_rollout(
+        stepper = rollout.make_rod_stepper(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply(), pos_dim=3)
         ctxs = _fixed_or_sampled(ref_contexts.aligning_contexts,
@@ -138,24 +169,18 @@ class AligningSim:
                                  self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
-        obs_dim = 20
-
-        def run_one(ci, key):
-            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, ctx)
-            pos_d = jnp.linalg.norm(state.scene.free_pos[0] - state.target_pos)
-            rot_d = env.rotation_distance(state.scene.free_quat[0],
-                                          state.target_quat) / jnp.pi
-            return state.success, state.mode, 0.5 * (pos_d + rot_d)
-
-        succ, modes, dist = pmesh.run_sharded(run_one, cidx, keys)
-        jax.block_until_ready(succ)
+        ctx_of = lambda ci: jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+        state = _run_episodes(stepper, agent, ctx_of, (cidx, keys),
+                              params.max_steps, 20)
+        pos_d = jnp.linalg.norm(state.scene.free_pos[:, 0] - state.target_pos,
+                                axis=-1)
+        rot_d = jax.vmap(env.rotation_distance)(
+            state.scene.free_quat[:, 0], state.target_quat) / jnp.pi
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.aligning_score(
-            jnp.asarray(succ, jnp.float32).reshape(C, T),
-            jnp.asarray(modes).reshape(C, T),
-            jnp.asarray(dist).reshape(C, T)).items()}
+            jnp.asarray(state.success, jnp.float32).reshape(C, T),
+            jnp.asarray(state.mode).reshape(C, T),
+            (0.5 * (pos_d + rot_d)).reshape(C, T)).items()}
 
 
 @dataclass
@@ -171,25 +196,20 @@ class InsertingSim:
     def test_agent(self, agent, params=None):
         from d3il_tpu.envs import inserting as env
         params = params or inserting_params(max_steps=self.max_steps)
-        roll = rollout.make_rod_rollout(
+        stepper = rollout.make_rod_stepper(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply())
         ctxs = jax.vmap(env.sample_context)(_context_keys(self.n_contexts))
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
-        obs_dim = 13  # des xy + robot xy + 3 x (box xy, tan yaw)
-
-        def run_one(ci, key):
-            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, ctx)
-            return state.success, env.decode_mode(state.order, state.n_visited)
-
-        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
-        jax.block_until_ready(succ)
+        ctx_of = lambda ci: jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+        # obs: des xy + robot xy + 3 x (box xy, tan yaw) = 13
+        state = _run_episodes(stepper, agent, ctx_of, (cidx, keys),
+                              params.max_steps, 13)
+        modes = jax.vmap(env.decode_mode)(state.order, state.n_visited)
         C, T = self.n_contexts, self.n_trajectories_per_context
         return {k: float(v) for k, v in metrics.inserting_score(
-            jnp.asarray(succ, jnp.float32).reshape(C, T),
+            jnp.asarray(state.success, jnp.float32).reshape(C, T),
             jnp.asarray(modes).reshape(C, T)).items()}
 
 
@@ -208,7 +228,7 @@ class SortingSim:
         from d3il_tpu.envs import sorting as env
         params = params or sorting_params(self.num_boxes,
                                           max_steps=self.max_steps)
-        roll = rollout.make_rod_rollout(
+        stepper = rollout.make_rod_stepper(
             params, env.reset, env.step, env.get_observation,
             agent.policy_apply())
         sample = lambda k: env.sample_context(k, self.num_boxes)
@@ -217,16 +237,12 @@ class SortingSim:
         ctxs = jax.vmap(sample)(_context_keys(self.n_contexts))
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
-        obs_dim = 4 + 3 * self.num_boxes
-
-        def run_one(ci, key):
-            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, ctx)
-            return state.success, env.decode_mode(state.mode, params.num_boxes)
-
-        succ, modes = pmesh.run_sharded(run_one, cidx, keys)
-        jax.block_until_ready(succ)
+        ctx_of = lambda ci: jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+        state = _run_episodes(stepper, agent, ctx_of, (cidx, keys),
+                              params.max_steps, 4 + 3 * self.num_boxes)
+        succ = state.success
+        modes = jax.vmap(lambda m: env.decode_mode(m, params.num_boxes))(
+            state.mode)
         C, T = self.n_contexts, self.n_trajectories_per_context
         if mode_keys is None:
             # demo-derived mode prior when a generated dataset exists
@@ -259,7 +275,7 @@ class StackingSim:
     def test_agent(self, agent, params=None, priors=None):
         from d3il_tpu.envs import stacking as env
         params = params or stacking_params(max_steps=self.max_steps)
-        roll = rollout.make_joint_rollout(
+        stepper = rollout.make_joint_stepper(
             params, env.reset, env.step, env.get_observation,
             env.robot_state, agent.policy_apply())
         ctxs = _fixed_or_sampled(ref_contexts.stacking_contexts,
@@ -267,17 +283,11 @@ class StackingSim:
                                  self.use_reference_contexts)
         cidx, keys = _grid(self.n_contexts, self.n_trajectories_per_context,
                            self.seed)
-        obs_dim = 20
-
-        def run_one(ci, key):
-            ctx = jax.tree_util.tree_map(lambda x: x[ci], ctxs)
-            carry0 = agent.init_carry(obs_dim, key)
-            state, _ = roll(agent.params, carry0, ctx)
-            return (state.success, state.mode_len > 0, state.mode_len > 1,
-                    state.mode, state.mode_len)
-
-        succ, s1, s2, order, mlen = pmesh.run_sharded(run_one, cidx, keys)
-        jax.block_until_ready(succ)
+        ctx_of = lambda ci: jax.tree_util.tree_map(lambda x: x[ci], ctxs)
+        state = _run_episodes(stepper, agent, ctx_of, (cidx, keys),
+                              params.max_steps, 20)
+        succ, order, mlen = state.success, state.mode, state.mode_len
+        s1, s2 = mlen > 0, mlen > 1
         C, T = self.n_contexts, self.n_trajectories_per_context
         if priors is None:
             priors = ref_contexts.stacking_mode_priors()
