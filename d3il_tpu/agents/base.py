@@ -40,9 +40,14 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig):
-    if cfg.weight_decay > 0:
-        return optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
-    return optax.adam(cfg.lr)
+    # Global-norm gradient clip: sharp-mixture NLLs (GMM with the reference's
+    # 1e-4 std floor) spike to 1e7-scale on off-component residuals and the
+    # raw Adam step then destabilizes the whole run (observed on stacking
+    # with window 5); clipping bounds the damage without changing the
+    # modeled distribution.
+    base = (optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+            if cfg.weight_decay > 0 else optax.adam(cfg.lr))
+    return optax.chain(optax.clip_by_global_norm(10.0), base)
 
 
 def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,

@@ -22,11 +22,7 @@ class GMMNet(nn.Module):
     num_hidden_layers: int = 4
     action_dim: int = 2
     n_gaussians: int = 8
-    # std floor: at 1e-4 the NLL of an off-component residual reaches
-    # (r/1e-4)^2 ~ 1e7-scale spikes that destabilize Adam (observed on
-    # stacking with window 5); 1e-2 keeps mixture sharpness while bounding
-    # the gradient scale
-    min_std: float = 1e-2
+    min_std: float = 1e-4
 
     @nn.compact
     def __call__(self, x):

@@ -328,7 +328,7 @@ class VisionGMMNet(nn.Module):
     hidden_dim: int = 256
     num_hidden_layers: int = 4
     n_gaussians: int = 8
-    min_std: float = 1e-2
+    min_std: float = 1e-4
 
     @nn.compact
     def __call__(self, bp, ih, low):
