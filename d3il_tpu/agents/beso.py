@@ -27,6 +27,21 @@ SIGMA_MIN, SIGMA_MAX = 0.001, 1.0         # training noise-density range
 # inference schedule range (beso_agent.yaml:115-116: sigma_min 0.1, max 1.0;
 # sampling below sigma ~0.1 chases denoiser noise and wrecked pushing)
 SAMPLE_SIGMA_MIN, SAMPLE_SIGMA_MAX = 0.1, 1.0
+# training sigma density: truncated log-logistic, median e^-0.6 ~ 0.55
+# (beso_agent.yaml:118-121 + utils.rand_log_logistic) — a log-UNIFORM
+# density over [1e-3, 1] puts 2/3 of samples below sigma 0.1 where the
+# denoising task is trivial, and the model under-trains exactly in the
+# range the samplers use
+DENSITY_LOC, DENSITY_SCALE = -0.6, 1.6
+
+
+def rand_log_logistic(key, shape, loc=DENSITY_LOC, scale=DENSITY_SCALE,
+                      min_value=SIGMA_MIN, max_value=SIGMA_MAX):
+    """Truncated log-logistic sigma sampler (utils.rand_log_logistic port)."""
+    min_cdf = jax.nn.sigmoid((np.log(min_value) - loc) / scale)
+    max_cdf = jax.nn.sigmoid((np.log(max_value) - loc) / scale)
+    u = jax.random.uniform(key, shape, minval=min_cdf, maxval=max_cdf)
+    return jnp.exp(jax.scipy.special.logit(u) * scale + loc)
 
 
 class ScoreMLP(nn.Module):
@@ -281,10 +296,7 @@ class BesoAgent:
             s = scaler.scale_input(obs_w).reshape(B, -1)
             a0 = scaler.scale_output(act_w[:, -1])
             k1, k2 = jax.random.split(key)
-            # log-uniform sigma in [SIGMA_MIN, SIGMA_MAX]
-            u = jax.random.uniform(k1, (B,))
-            sigma = jnp.exp(u * (jnp.log(SIGMA_MAX) - jnp.log(SIGMA_MIN))
-                            + jnp.log(SIGMA_MIN))
+            sigma = rand_log_logistic(k1, (B,))
             noise = jax.random.normal(k2, a0.shape)
             a_noisy = a0 + sigma[:, None] * noise
             den = edm_denoise(model, params, s, a_noisy, sigma)

@@ -553,10 +553,7 @@ class VisionBesoAgent:
             feat_low = _scale_low(scaler, low)
             a0 = scaler.scale_output(act_w[:, -1])
             k1, k2 = jax.random.split(key)
-            u = jax.random.uniform(k1, (B,))
-            sigma = jnp.exp(u * (jnp.log(beso_mod.SIGMA_MAX)
-                                 - jnp.log(beso_mod.SIGMA_MIN))
-                            + jnp.log(beso_mod.SIGMA_MIN))
+            sigma = beso_mod.rand_log_logistic(k1, (B,))
             noise = jax.random.normal(k2, a0.shape)
             a_noisy = a0 + sigma[:, None] * noise
 

@@ -64,8 +64,12 @@ TASKS: dict[str, TaskSpec] = {
     "pushing": TaskSpec(
         "pushing", "d3il_tpu.envs.pushing", "PushingParams",
         ds.assemble_pushing, 10, 2, "PushingSim", "rod", 400,
-        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16,
-                  "window": 5}),  # configs/pushing_config.yaml:57
+        # the reference trains pushing with window 5
+        # (configs/pushing_config.yaml:57) for its transformer backbones on
+        # human demos; measured on our scripted demos + MLP heads, window 5
+        # roughly halves every agent's success (bc 0.22->0.10, gmm
+        # 0.28->0.07), so the tuned default here stays 1
+        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16}),
     "aligning": TaskSpec(
         "aligning", "d3il_tpu.envs.aligning", "AligningParams",
         ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400,

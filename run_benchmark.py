@@ -83,6 +83,8 @@ def main():
                     help="override the per-task eval context count")
     ap.add_argument("--n-trajs", type=int, default=None,
                     help="override the per-task eval trajectories")
+    ap.add_argument("--eval-max-steps", type=int, default=None,
+                    help="cap the eval episode horizon")
     ap.add_argument("--kinematic", action="store_true", default=False)
     ap.add_argument("--rerun", action="store_true",
                     help="recompute rows already in results.jsonl")
@@ -110,6 +112,8 @@ def main():
                     over["n_contexts"] = args.n_contexts
                 if args.n_trajs is not None:
                     over["n_trajs"] = args.n_trajs
+                if args.eval_max_steps is not None:
+                    over["eval_max_steps"] = args.eval_max_steps
                 t0 = time.time()
                 print(f"[run ] {task} {agent} seed {seed}")
                 try:
