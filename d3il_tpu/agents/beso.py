@@ -254,11 +254,121 @@ def sample_dpmpp_2m(denoise, a, sigmas, key):
     return a
 
 
+def _lms_coeffs(sigmas_np, order: int):
+    """Adams-Bashforth-style coefficients over the (static) sigma grid
+    (gc_sampling.py linear_multistep_coeff, fine-grid quadrature)."""
+    n = len(sigmas_np) - 1
+    out = []
+    for i in range(n):
+        cur = min(i + 1, order)
+        xs = np.linspace(sigmas_np[i], sigmas_np[i + 1], 513)
+        cs = []
+        for j in range(cur):
+            prod = np.ones_like(xs)
+            for k in range(cur):
+                if k == j:
+                    continue
+                prod = prod * (xs - sigmas_np[i - k]) / (
+                    sigmas_np[i - j] - sigmas_np[i - k])
+            cs.append(np.trapezoid(prod, xs))
+        out.append(cs)
+    return out
+
+
+def sample_lms(denoise, a, sigmas, key, order: int = 4):
+    """Linear multistep sampler (gc_sampling.py:433-469). The sigma grid is
+    static, so the integrated Lagrange coefficients are precomputed on host
+    and the step loop unrolls under jit."""
+    coeffs = _lms_coeffs(np.asarray(sigmas), order)
+    ds = []
+    for i in range(len(sigmas) - 1):
+        d = _to_d(a, sigmas[i], denoise(a, sigmas[i]))
+        ds.append(d)
+        if len(ds) > order:
+            ds.pop(0)
+        a = a + sum(c * dd for c, dd in zip(coeffs[i], reversed(ds)))
+    return a
+
+
+def sample_dpmpp_sde(denoise, a, sigmas, key, eta: float = 1.0,
+                     r: float = 0.5):
+    """DPM-Solver++ (stochastic) (gc_sampling.py:740-797). Plain Gaussian
+    increments replace the reference's BrownianTree noise sampler (the tree
+    only matters for cross-seed reproducibility of the SDE path)."""
+    def body(carry, i):
+        a, key = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        # euler fallback on the final step
+        a_eul = a + _to_d(a, s, den) * (sn - s)
+        t = -jnp.log(jnp.maximum(s, 1e-12))
+        tn = -jnp.log(jnp.maximum(sn, 1e-12))
+        h = tn - t
+        sm = t + h * r
+        fac = 1.0 / (2.0 * r)
+        sig_s = jnp.exp(-sm)
+        su1, sd1 = _ancestral_sigmas_eta(s, sig_s, eta)
+        s_ = -jnp.log(jnp.maximum(sd1, 1e-12))
+        key, k1, k2 = jax.random.split(key, 3)
+        a_2 = (jnp.exp(-s_) / jnp.maximum(s, 1e-12)) * a \
+            - jnp.expm1(t - s_) * den
+        a_2 = a_2 + jax.random.normal(k1, a.shape) * su1
+        den2 = denoise(a_2, sig_s)
+        su2, sd2 = _ancestral_sigmas_eta(s, sn, eta)
+        tn_ = -jnp.log(jnp.maximum(sd2, 1e-12))
+        den_d = (1 - fac) * den + fac * den2
+        a_new = (jnp.exp(-tn_) / jnp.maximum(s, 1e-12)) * a \
+            - jnp.expm1(t - tn_) * den_d
+        a_new = a_new + jax.random.normal(k2, a.shape) * su2
+        a = jnp.where(sn > 1e-10, a_new, a_eul)
+        return (a, key), None
+    (a, _), _ = jax.lax.scan(body, (a, key), jnp.arange(len(sigmas) - 1))
+    return a
+
+
+def _ancestral_sigmas_eta(s, sn, eta):
+    var_up = sn ** 2 * (s ** 2 - sn ** 2) / jnp.maximum(s ** 2, 1e-12)
+    sigma_up = jnp.minimum(jnp.sqrt(jnp.maximum(var_up, 0.0)) * eta, sn)
+    sigma_down = jnp.sqrt(jnp.maximum(sn ** 2 - sigma_up ** 2, 0.0))
+    return sigma_up, sigma_down
+
+
+def sample_dpmpp_2m_sde(denoise, a, sigmas, key, eta: float = 1.0):
+    """DPM-Solver++(2M) SDE, heun correction (gc_sampling.py:800-853);
+    Gaussian increments in place of the BrownianTree sampler."""
+    def body(carry, i):
+        a, old_den, h_last, key = carry
+        s, sn = sigmas[i], sigmas[i + 1]
+        den = denoise(a, s)
+        t = -jnp.log(jnp.maximum(s, 1e-12))
+        tn = -jnp.log(jnp.maximum(sn, 1e-12))
+        h = tn - t
+        eta_h = eta * h
+        a_new = (sn / jnp.maximum(s, 1e-12)) * jnp.exp(-eta_h) * a \
+            - jnp.expm1(-h - eta_h) * den
+        use_ms = (h_last > 0) & (sn > 1e-10)
+        rr = h_last / jnp.maximum(h, 1e-12)
+        heun = (jnp.expm1(-h - eta_h) / (-h - eta_h) + 1.0) \
+            * (1.0 / jnp.maximum(rr, 1e-12)) * (den - old_den)
+        a_new = a_new + jnp.where(use_ms, heun, 0.0)
+        key, kn = jax.random.split(key)
+        a_new = a_new + jax.random.normal(kn, a.shape) * sn \
+            * jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * eta_h), 0.0))
+        a = jnp.where(sn > 1e-10, a_new, den)
+        return (a, den, h, key), None
+    (a, _, _, _), _ = jax.lax.scan(
+        body, (a, jnp.zeros_like(a), jnp.float32(0.0), key),
+        jnp.arange(len(sigmas) - 1))
+    return a
+
+
 SAMPLERS = {"euler": sample_euler, "ddim": sample_ddim,
             "euler_ancestral": sample_euler_ancestral, "heun": sample_heun,
             "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
             "dpm_2": sample_dpm_2, "dpm_2_ancestral": sample_dpm_2_ancestral,
-            "dpmpp_2s": sample_dpmpp_2s, "dpmpp_2m": sample_dpmpp_2m}
+            "dpmpp_2s": sample_dpmpp_2s, "dpmpp_2m": sample_dpmpp_2m,
+            "lms": sample_lms, "dpmpp_sde": sample_dpmpp_sde,
+            "dpmpp_2m_sde": sample_dpmpp_2m_sde}
 
 
 @dataclass

@@ -126,6 +126,8 @@ AGENTS: dict[str, AgentSpec] = {
     "bc": AgentSpec("bc", "d3il_tpu.agents.bc", "BCAgent"),
     "cvae": AgentSpec("cvae", "d3il_tpu.agents.cvae", "CVAEAgent"),
     "gmm": AgentSpec("gmm", "d3il_tpu.agents.gmm", "GMMAgent"),
+    "lstm_gmm": AgentSpec("lstm_gmm", "d3il_tpu.agents.lstm_gmm",
+                          "LSTMGMMAgent"),
     "ibc": AgentSpec("ibc", "d3il_tpu.agents.ibc", "IBCAgent"),
     "gpt_bc": AgentSpec("gpt_bc", "d3il_tpu.agents.gpt_bc", "GPTBCAgent"),
     "bet": AgentSpec("bet", "d3il_tpu.agents.bet", "BeTAgent",

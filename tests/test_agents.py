@@ -170,3 +170,12 @@ def test_beso_samplers_converge_with_oracle_denoiser():
         out = jax.jit(lambda a: fn(denoise, a, sigmas, jax.random.PRNGKey(0)))(a_init)
         assert np.allclose(np.asarray(out), np.asarray(x0), atol=1e-4), \
             f"{name}: {out} != {x0}"
+
+
+def test_lstm_gmm(data):
+    from d3il_tpu.agents.lstm_gmm import LSTMGMMAgent
+    ag = LSTMGMMAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM,
+                             data[1], hidden_dim=32, num_layers=2,
+                             n_gaussians=4, window_size=4)
+    ag.params = _fit(ag, data, 4)
+    _policy_roundtrip(ag, ag.params)
