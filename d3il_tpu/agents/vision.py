@@ -118,6 +118,7 @@ class VisionBCAgent:
     scaler: Scaler
     render_fn: Callable   # obs -> (bp, ih, low)
     window_size: int = 1
+    eval_chunk_steps: int = 25
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
@@ -167,6 +168,7 @@ class VisionDDPMAgent:
     render_fn: Callable
     n_timesteps: int = 16
     window_size: int = 1
+    eval_chunk_steps: int = 25
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
@@ -262,6 +264,7 @@ class VisionBeTAgent:
     render_fn: Callable
     centers: jax.Array
     window_size: int = 1
+    eval_chunk_steps: int = 25
     focal_gamma: float = 2.0
     offset_scale: float = 1.0
 
@@ -351,6 +354,7 @@ class VisionGMMAgent:
     scaler: Scaler
     render_fn: Callable
     window_size: int = 1
+    eval_chunk_steps: int = 25
     low_noise_eval: bool = True
 
     @staticmethod
@@ -440,6 +444,7 @@ class VisionCVAEAgent:
     render_fn: Callable
     kl_weight: float = 1.0
     window_size: int = 1
+    eval_chunk_steps: int = 25
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,
@@ -528,6 +533,7 @@ class VisionBesoAgent:
     sampler: str = "euler_ancestral"
     schedule: str = "exponential"
     window_size: int = 1
+    eval_chunk_steps: int = 25
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, render_fn, low_dim=4,

@@ -60,13 +60,18 @@ EVAL_CHUNK_STEPS = 200
 
 
 def _run_episodes(stepper, agent, ctx_of, grid_args, T: int, obs_dim: int,
-                  chunk: int = EVAL_CHUNK_STEPS):
+                  chunk: int | None = None):
     """Advance every episode T env steps in host-dispatched chunks.
 
     stepper: (init, body) from rollout.make_rod_stepper /
     make_joint_stepper; ctx_of(*grid_args_without_key) -> context pytree;
     grid_args: batched arrays, the LAST one is the per-episode PRNG key.
-    Returns the final env state batch [B, ...]."""
+    Returns the final env state batch [B, ...]. Agents whose per-step cost
+    is far above the state policies' (vision agents render two cameras per
+    step) declare a smaller `eval_chunk_steps` so each dispatch stays under
+    the tunneled TPU's RPC window."""
+    if chunk is None:
+        chunk = getattr(agent, "eval_chunk_steps", EVAL_CHUNK_STEPS)
     init, body = stepper
 
     def init_one(*args):
