@@ -141,7 +141,13 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
         if start_epoch >= cfg.epochs:
             # Fully-trained checkpoint: the loop below runs zero epochs;
             # emit a synthetic record so callers reading history[-1] work.
-            history.append({"epoch": start_epoch - 1, "train_loss": 0.0,
+            # Replay the last real epoch loss (NaN for pre-field checkpoints)
+            # instead of a fabricated 0.0 in benchmark rows.
+            last_loss = st.get("last_train_loss")
+            history.append({"epoch": start_epoch - 1,
+                            "train_loss": (float(last_loss)
+                                           if last_loss is not None
+                                           else float("nan")),
                             "resumed_complete": True})
     for epoch in range(start_epoch, cfg.epochs):
         key, k1, k2 = jax.random.split(key, 3)
@@ -170,6 +176,7 @@ def fit(loss_fn: Callable, params, train_data: ds.TrajectoryData,
                                    "opt_state": opt_state,
                                    "best_params": best_params,
                                    "best_val": best_val,
+                                   "last_train_loss": rec["train_loss"],
                                    "epoch": epoch, "key": key})
     final_params = ema_params if ema is not None else params
     if val_data is None:

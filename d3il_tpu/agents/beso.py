@@ -348,7 +348,10 @@ def sample_dpmpp_2m_sde(denoise, a, sigmas, key, eta: float = 1.0):
             - jnp.expm1(-h - eta_h) * den
         use_ms = (h_last > 0) & (sn > 1e-10)
         rr = h_last / jnp.maximum(h, 1e-12)
-        heun = (jnp.expm1(-h - eta_h) / (-h - eta_h) + 1.0) \
+        # (-h-eta_h).expm1().neg()/(-h-eta_h) + 1 (gc_sampling.py:840); the
+        # negation matters: the coefficient -> 0 (not 2) in the small-step
+        # limit, so the multistep correction vanishes as h -> 0.
+        heun = (-jnp.expm1(-h - eta_h) / (-h - eta_h) + 1.0) \
             * (1.0 / jnp.maximum(rr, 1e-12)) * (den - old_den)
         a_new = a_new + jnp.where(use_ms, heun, 0.0)
         key, kn = jax.random.split(key)

@@ -612,10 +612,14 @@ _META_CACHE: dict = {}
 
 def _meta_for(scene):
     from d3il_tpu.engine import contact as contact_mod
+    # keyed by id but pinning the scene in the value: an identity check
+    # guards against CPython id reuse handing out another scene's metadata
     key = id(scene)
-    if key not in _META_CACHE:
-        _META_CACHE[key] = contact_mod.build_meta(scene)
-    return _META_CACHE[key]
+    hit = _META_CACHE.get(key)
+    if hit is None or hit[0] is not scene:
+        hit = (scene, contact_mod.build_meta(scene))
+        _META_CACHE[key] = hit
+    return hit[1]
 
 
 def supported(params) -> bool:

@@ -224,11 +224,12 @@ def _parser():
 def main():
     ap = _parser()
     args = ap.parse_args()
-    # apply the task's tuned defaults for any arg the user left at the CLI
-    # default (same semantics as make_args, so subprocess sweeps match
-    # in-process ones)
+    # apply the task's tuned defaults for any arg the user did not pass on
+    # the command line (checked against sys.argv, not default-equality, so an
+    # explicit `--window 1` can force the parser default over train_kw)
+    passed = {a.split("=", 1)[0] for a in sys.argv[1:] if a.startswith("--")}
     for k, v in registry.TASKS[args.task].train_kw.items():
-        if getattr(args, k) == ap.get_default(k):
+        if "--" + k.replace("_", "-") not in passed:
             setattr(args, k, v)
     print(json.dumps(run_one(args)))
 

@@ -172,6 +172,30 @@ def test_beso_samplers_converge_with_oracle_denoiser():
             f"{name}: {out} != {x0}"
 
 
+def test_dpmpp_2m_sde_tracks_linear_ode():
+    """dpmpp_2m_sde (eta=0, deterministic) must track the analytic solution
+    of a linear-denoiser probability-flow ODE. Pins the sign of the heun
+    multistep coefficient (-expm1(-h)/(-h)+1 -> 0 as h -> 0; with the
+    dropped negation of gc_sampling.py:840 the coefficient tends to 2 and
+    the 12-step output lands at the wrong sign entirely)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3il_tpu.agents import beso
+
+    # D(a, sigma) = alpha*a  =>  a(sigma) = a0 * (sigma/sigma0)^(1-alpha)
+    alpha = 0.5
+    den = lambda a, s: alpha * a
+    sigmas = beso.karras_sigmas(12)
+    a0 = jnp.array([2.0, -1.0])
+    out = beso.sample_dpmpp_2m_sde(den, a0, sigmas, jax.random.PRNGKey(0),
+                                   eta=0.0)
+    s0, s_last = float(sigmas[0]), float(sigmas[-2])
+    # the final step returns denoise(a(s_last)) = alpha * a(s_last)
+    analytic = np.asarray(a0) * (s_last / s0) ** (1 - alpha) * alpha
+    assert np.allclose(np.asarray(out), analytic, rtol=5e-3), (out, analytic)
+
+
 def test_lstm_gmm(data):
     from d3il_tpu.agents.lstm_gmm import LSTMGMMAgent
     ag = LSTMGMMAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM,
