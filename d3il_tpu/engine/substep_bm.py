@@ -447,6 +447,22 @@ def _contact_phase_bm(scene, meta, pts, normal, depth, axes, anchors,
         free_pos, free_quat, warm, interpret=interpret)
 
 
+# Pallas dynamics kernels (engine/dyn_kernel.py) replace the jnp dynamics /
+# PD / Minv stages below. None: auto (on everywhere; interpret off-TPU).
+# False: force the plain-jnp stages (golden tests compare the two).
+_USE_DYN_KERNEL = None
+
+
+def set_dyn_kernel(flag):
+    global _USE_DYN_KERNEL
+    assert flag in (None, True, False)
+    _USE_DYN_KERNEL = flag
+
+
+def _dyn_kernel_on():
+    return True if _USE_DYN_KERNEL is None else _USE_DYN_KERNEL
+
+
 def physics_substep_bm(params, meta, sb: _SceneBM, q_des, qd_des, tau_model,
                        set_width, grasp_flag):
     """envs.common.physics_substep + engine.step port, batch-minor.
@@ -461,6 +477,8 @@ def physics_substep_bm(params, meta, sb: _SceneBM, q_des, qd_des, tau_model,
     h = scene.dt
     g = jnp.asarray(scene.gravity, dtype)
     D = jnp.asarray(robot.joint_damping, dtype)
+    use_kernel = _dyn_kernel_on() and not params.kinematic
+    qd_pre = axes = anchors = None
 
     if params.kinematic:
         # beamed arm (engine/step.py kinematic branch + common kin substep)
@@ -475,6 +493,15 @@ def physics_substep_bm(params, meta, sb: _SceneBM, q_des, qd_des, tau_model,
         a_arm = jnp.zeros((nv_r, B), dtype)
         tau_c = bias = None
         M_arm = None
+    elif use_kernel:
+        from d3il_tpu.engine import dyn_kernel
+        interpret = jax.default_backend() != "tpu"
+        (xpos_k, xquat_k, axes, anchors, Minv_arm, qd_pre,
+         a_arm) = dyn_kernel.arm_stage_bm(
+            scene, params.pd_gains, sb.q, sb.qd, q_des, qd_des, tau_model,
+            set_width, grasp_flag, interpret=interpret)
+        fk_cache = (xpos_k, xquat_k)
+        M_arm = tau_c = bias = None
     else:
         fk_cache, M_arm, bias = dynamics_bm(robot, sb.q, sb.qd, scene.gravity)
         pg = jnp.asarray(params.pd_gains.pgain, dtype)[:, None]
@@ -504,7 +531,8 @@ def physics_substep_bm(params, meta, sb: _SceneBM, q_des, qd_des, tau_model,
         axis=1).reshape(6 * nf, B)
     a_smooth = jnp.concatenate([a_arm, a_free])
 
-    axes, anchors = _dof_frames_bm(robot, *fk_cache)
+    if axes is None:
+        axes, anchors = _dof_frames_bm(robot, *fk_cache)
     f, qfrc = _contact_phase_bm(scene, meta, pts, normal, depth, axes,
                                 anchors, Minv_arm, v_all, a_smooth,
                                 sb.free_pos, sb.free_quat, sb.warm)
@@ -512,9 +540,15 @@ def physics_substep_bm(params, meta, sb: _SceneBM, q_des, qd_des, tau_model,
     if params.kinematic:
         q_out, qd_out = sb.q, sb.qd
     else:
-        rhs = (jnp.einsum("ijn,jn->in", M_arm, sb.qd)
-               + h * (tau_c - bias + qfrc[:nv_r]))
-        qd_out = jnp.einsum("ijn,jn->in", Minv_arm, rhs)
+        if qd_pre is not None:
+            # kernel path: qd_pre = (M+hD)^-1 (M qd + h (tau - bias));
+            # contacts add h (M+hD)^-1 J' f
+            qd_out = qd_pre + h * jnp.einsum("ijn,jn->in", Minv_arm,
+                                             qfrc[:nv_r])
+        else:
+            rhs = (jnp.einsum("ijn,jn->in", M_arm, sb.qd)
+                   + h * (tau_c - bias + qfrc[:nv_r]))
+            qd_out = jnp.einsum("ijn,jn->in", Minv_arm, rhs)
         q_new = sb.q + h * qd_out
         lo = jnp.asarray(robot.joint_range[:, 0], dtype)[:, None]
         hi = jnp.asarray(robot.joint_range[:, 1], dtype)[:, None]
@@ -588,10 +622,17 @@ def run_substeps_bm(params, sc, cs, des_pos, des_quat, set_width, grasp_flag):
         # 2) model feedforward over the whole window in ONE call: fold the
         #    window dim into the batch (common.run_substeps vmaps instead)
         fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(7, n_sub * B)
-        tau_model_w = jnp.moveaxis(
-            model_feedforward_bm(params.ctrl_chain, fold(q_des_w),
-                                 fold(qd_des_w), fold(qdd_des_w))
-            .reshape(7, n_sub, B), 1, 0)                      # [n_sub,7,B]
+        if _dyn_kernel_on():
+            from d3il_tpu.engine import dyn_kernel
+            ff = dyn_kernel.feedforward_bm(
+                params.ctrl_chain, fold(q_des_w), fold(qd_des_w),
+                fold(qdd_des_w),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            ff = model_feedforward_bm(params.ctrl_chain, fold(q_des_w),
+                                      fold(qd_des_w), fold(qdd_des_w))
+        tau_model_w = jnp.moveaxis(ff.reshape(7, n_sub, B), 1, 0)
+        # [n_sub,7,B]
 
         def body(sb, inp):
             q_d, qd_d, tau_m = inp

@@ -39,13 +39,19 @@ def test_run_substeps_bm_matches_vmap(kinematic):
     def run(sc, cs, dp, dq):
         return common.run_substeps(params, sc, cs, dp, dq)
 
+    from d3il_tpu.engine import substep_bm
     try:
         common.set_substep_impl("vmap")
         sc_ref, cs_ref = jax.jit(jax.vmap(run))(sc, cs, des_pos, des_quat)
         common.set_substep_impl("bm")
+        # jnp bm stages here (the Pallas dynamics kernels are golden-tested
+        # per stage + one integrated substep in tests/test_dyn_kernel.py;
+        # 35 interpreted kernel windows would dominate CI wall time)
+        substep_bm.set_dyn_kernel(False)
         sc_bm, cs_bm = jax.jit(jax.vmap(run))(sc, cs, des_pos, des_quat)
     finally:
         common.set_substep_impl(None)
+        substep_bm.set_dyn_kernel(None)
 
     for name in ("q", "qd", "free_pos", "free_quat", "free_linvel",
                  "free_angvel", "warm"):
