@@ -195,6 +195,66 @@ def arm_stage_bm(scene, pd_gains, q, qd, q_des, qd_des, tau_model,
 
 
 # ---------------------------------------------------------------------------
+# IK window kernel: the whole n_substeps controller trajectory + feedforward
+# ---------------------------------------------------------------------------
+
+def _make_ik_window_kernel(ctrl_chain, gains, n_sub, dt):
+    def kernel(qv_r, ov_r, dp_r, dq_r,
+               qvf_o, ovf_o, qdes_o, qddes_o, tau_o):
+        ts = qv_r[0].shape
+        des_pos = tuple(dp_r[k] for k in range(3))
+        des_quat = dsc.qnormalize(tuple(dq_r[k] for k in range(4)))
+
+        def body(i, carry):
+            q_virt = list(carry[:7])
+            old_vel = list(carry[7:])
+            q_new, qd_des, qdd_des = dsc.cart_step_s(
+                ctrl_chain, gains, q_virt, old_vel, des_pos, des_quat, dt)
+            xpos, xquat = dsc.fk_s(ctrl_chain, q_new)
+            tau = dsc.rnea_s(ctrl_chain, xpos, xquat, q_new, qd_des, qdd_des,
+                             gravity=(0.0, 0.0, 0.0))
+            qdes_o[pl.ds(i, 1)] = _stack(q_new, ts)[None]
+            qddes_o[pl.ds(i, 1)] = _stack(qd_des, ts)[None]
+            tau_o[pl.ds(i, 1)] = _stack(tau, ts)[None]
+            return tuple(q_new) + tuple(qd_des)
+
+        carry = tuple(qv_r[i] for i in range(7)) \
+            + tuple(ov_r[i] for i in range(7))
+        carry = jax.lax.fori_loop(0, n_sub, body, carry)
+        qvf_o[...] = jnp.stack(carry[:7])
+        ovf_o[...] = jnp.stack(carry[7:])
+
+    return kernel
+
+
+def ik_window_bm(ctrl_chain, gains, n_sub, dt, q_virt, old_vel, des_pos,
+                 des_quat, interpret=False):
+    """Whole-substep-window cartesian DLS-IK + model feedforward.
+
+    Inputs [7, B] / [3, B] / [4, B]. Returns (q_virt' [7,B], old_vel' [7,B],
+    q_des_w [n_sub,7,B], qd_des_w [n_sub,7,B], tau_model_w [n_sub,7,B]) —
+    the hoisted-IK trajectory of envs.common.ik_trajectory plus
+    joint_pd.model_feedforward, one kernel for the whole window."""
+    B = q_virt.shape[-1]
+    lanes, sub, lw = _tile(interpret)
+    Bp = -(-B // lanes) * lanes
+    kernel = _make_ik_window_kernel(ctrl_chain, gains, n_sub, float(dt))
+    ins = [_pad_bm(a, B, Bp, lw) for a in (q_virt, old_vel, des_pos, des_quat)]
+    in_specs = [_in_spec(p, sub, lw) for p in [(7,), (7,), (3,), (4,)]]
+    S = Bp // lw
+    out_pre = [(7,), (7,), (n_sub, 7), (n_sub, 7), (n_sub, 7)]
+    out_shapes = [jax.ShapeDtypeStruct(p + (S, lw), jnp.float32)
+                  for p in out_pre]
+    out_specs = [_out_spec(p, sub, lw) for p in out_pre]
+    outs = pl.pallas_call(
+        kernel, grid=(Bp // lanes,), in_specs=in_specs,
+        out_shape=tuple(out_shapes), out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(*ins)
+    return tuple(_unpad_bm(o, B) for o in outs)
+
+
+# ---------------------------------------------------------------------------
 # control-model feedforward kernel
 # ---------------------------------------------------------------------------
 

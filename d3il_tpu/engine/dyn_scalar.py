@@ -267,18 +267,14 @@ def _body_kinematics(chain, xpos, xquat, q, qd, qdd, gravity):
     return omega, alpha, a_o, coms, Iw
 
 
-def rnea_s(chain, xpos, xquat, q, qd, qdd=None, gravity=(0.0, 0.0, -9.81)):
-    """Inverse dynamics tau [nv]: M qdd + C(q,qd) qd + g(q).
-
-    qdd=None means zero (-> bias forces, chain.bias_forces semantics);
-    gravity=(0,0,0) with qdd -> joint_pd.model_feedforward semantics.
-    """
-    omega, alpha, a_o, coms, Iw = _body_kinematics(
-        chain, xpos, xquat, q, qd, qdd, gravity)
+def _rnea_backward(chain, xpos, xquat, omega, alpha, a_o, coms, Iw):
+    """Leaf->root force accumulation with moments about each body's own
+    origin (NOT the world origin: origin-relative moment arms are ~0.5 m
+    while distal joint torques are ~0.01 Nm, and the f32 cancellation of
+    world-origin moments cost ~5e-3 relative error on TPU)."""
     nb = chain.nb
-    # per-body spatial force: f at com, moment about world origin
     F = [None] * nb
-    N0 = [None] * nb
+    N = [None] * nb                       # moment about xpos[b]
     for b in range(nb):
         o_b = xpos[b]
         dc = vsub(coms[b], o_b)
@@ -289,22 +285,32 @@ def rnea_s(chain, xpos, xquat, q, qd, qdd=None, gravity=(0.0, 0.0, -9.81)):
         n = vadd(mat_vec(Iw[b], alpha[b]),
                  vcross(omega[b], mat_vec(Iw[b], omega[b])))
         F[b] = f
-        N0[b] = vadd(n, vcross(coms[b], f))
-    # backward accumulate (children before parents: reversed body order)
+        N[b] = vadd(n, vcross(dc, f))
     for b in range(nb - 1, 0, -1):
         p = int(chain.parent[b])
         F[p] = vadd(F[p], F[b])
-        N0[p] = vadd(N0[p], N0[b])
+        N[p] = vadd(N[p], vadd(N[b], vcross(vsub(xpos[b], xpos[p]), F[b])))
     axes, anchors = dof_frames_s(chain, xpos, xquat)
     tau = []
     for d in range(chain.nv):
         b = int(chain.dof_body[d])
         if int(chain.joint_type[b]) == HINGE:
-            n_r = vsub(N0[b], vcross(anchors[d], F[b]))
+            n_r = vadd(N[b], vcross(vsub(xpos[b], anchors[d]), F[b]))
             tau.append(vdot(axes[d], n_r))
         else:
             tau.append(vdot(axes[d], F[b]))
     return tau
+
+
+def rnea_s(chain, xpos, xquat, q, qd, qdd=None, gravity=(0.0, 0.0, -9.81)):
+    """Inverse dynamics tau [nv]: M qdd + C(q,qd) qd + g(q).
+
+    qdd=None means zero (-> bias forces, chain.bias_forces semantics);
+    gravity=(0,0,0) with qdd -> joint_pd.model_feedforward semantics.
+    """
+    omega, alpha, a_o, coms, Iw = _body_kinematics(
+        chain, xpos, xquat, q, qd, qdd, gravity)
+    return _rnea_backward(chain, xpos, xquat, omega, alpha, a_o, coms, Iw)
 
 
 # ---------------------------------------------------------------------------
@@ -322,13 +328,27 @@ def _ancestor_pairs(chain):
     return pairs
 
 
+def _steiner(m, d):
+    """m (|d|^2 E - d d^T) as nested tuples."""
+    d2 = vdot(d, d)
+    return tuple(tuple(m * ((d2 if i == j else 0.0) - d[i] * d[j])
+                       for j in range(3)) for i in range(3))
+
+
+def _madd(A, B):
+    return tuple(tuple(A[i][j] + B[i][j] for j in range(3)) for i in range(3))
+
+
 def crba_s(chain, xpos, xquat, coms=None, Iw=None):
     """Joint-space inertia matrix as dict {(i, j): val} for i <= j.
 
-    Composite per body: (m_s, h_s = sum m c, I0_s = sum about-origin second
-    moments). For a unit qdd of dof j the subtree exerts F = a_j x (h - m r)
-    (hinge) / m a_j (slide) and moment-about-origin N0 = I0 a_j - h x (a_j x
-    r) (hinge) / h x a_j (slide); M[i][j] = S_i . (F, N0).
+    Composite bodies accumulated about their own composite COM (Steiner
+    shifts over local ~0.1 m distances; an earlier about-world-origin
+    formulation lost ~5e-3 relative accuracy in f32 to m|c|^2-scale
+    cancellation). Subtree masses are chain constants and fold to floats.
+    For a unit qdd of dof j the subtree exerts F = m_s a_j x (c_s - r_j)
+    (hinge; with N_cs = I_cs a_j) or F = m_s a_j (slide; N_cs = 0), and
+    M[i][j] = a_i . (N_cs + (c_s - r_i) x F) (hinge i) / a_i . F (slide i).
     """
     if coms is None or Iw is None:
         coms, Iw = [], []
@@ -340,43 +360,46 @@ def crba_s(chain, xpos, xquat, coms=None, Iw=None):
                         for i in range(3))
             Iw.append(rot_inertia(R, I_l))
     nb = chain.nb
-    m_s = [float(chain.mass[b]) for b in range(nb)]
-    h_s = [vscale(coms[b], float(chain.mass[b])) for b in range(nb)]
-    # about-origin second moment: Iw + m (|c|^2 E - c c^T)
-    I0 = []
-    for b in range(nb):
-        c = coms[b]
-        m = float(chain.mass[b])
-        c2 = vdot(c, c)
-        I0.append(tuple(tuple(
-            Iw[b][i][j] + m * ((c2 if i == j else 0.0) - c[i] * c[j])
-            for j in range(3)) for i in range(3)))
-    for b in range(nb - 1, 0, -1):
+    msub = [float(chain.mass[b]) for b in range(nb)]   # floats: fold
+    csub = list(coms)
+    Isub = list(Iw)
+    sub = [None] * nb                                   # finalized composites
+    for b in range(nb - 1, -1, -1):
+        sub[b] = (msub[b], csub[b], Isub[b])
         p = int(chain.parent[b])
-        m_s[p] = m_s[p] + m_s[b]
-        h_s[p] = vadd(h_s[p], h_s[b])
-        I0[p] = tuple(tuple(I0[p][i][j] + I0[b][i][j] for j in range(3))
-                      for i in range(3))
+        if p < 0:
+            continue
+        m1, m2 = msub[p], msub[b]
+        m = m1 + m2
+        if m2 == 0.0:
+            continue
+        if m1 == 0.0:
+            msub[p], csub[p], Isub[p] = m2, csub[b], Isub[b]
+            continue
+        c = vscale(vadd(vscale(csub[p], m1), vscale(csub[b], m2)), 1.0 / m)
+        I = _madd(_madd(Isub[p], _steiner(m1, vsub(csub[p], c))),
+                  _madd(Isub[b], _steiner(m2, vsub(csub[b], c))))
+        msub[p], csub[p], Isub[p] = m, c, I
     axes, anchors = dof_frames_s(chain, xpos, xquat)
-    # per-dof composite force from unit qdd
-    Fj, N0j = [], []
+    Fj, Nj, cj = [], [], []
     for j in range(chain.nv):
         b = int(chain.dof_body[j])
         a = axes[j]
+        m_s, c_s, I_cs = sub[b]
         if int(chain.joint_type[b]) == HINGE:
-            r = anchors[j]
-            F = vcross(a, vsub(h_s[b], vscale(r, m_s[b])))
-            N = vsub(mat_vec(I0[b], a), vcross(h_s[b], vcross(a, r)))
+            F = vscale(vcross(a, vsub(c_s, anchors[j])), m_s)
+            N = mat_vec(I_cs, a)
         else:
-            F = vscale(a, m_s[b])
-            N = vcross(h_s[b], a)
+            F = vscale(a, m_s)
+            N = v3()
         Fj.append(F)
-        N0j.append(N)
+        Nj.append(N)
+        cj.append(c_s)
     M = {}
     for (i, j) in _ancestor_pairs(chain):
         bi = int(chain.dof_body[i])
         if int(chain.joint_type[bi]) == HINGE:
-            n_ri = vsub(N0j[j], vcross(anchors[i], Fj[j]))
+            n_ri = vadd(Nj[j], vcross(vsub(cj[j], anchors[i]), Fj[j]))
             M[(i, j)] = vdot(axes[i], n_ri)
         else:
             M[(i, j)] = vdot(axes[i], Fj[j])
@@ -388,33 +411,8 @@ def dynamics_s(chain, q, qd, gravity=(0.0, 0.0, -9.81)):
     xpos, xquat = fk_s(chain, q)
     omega, alpha, a_o, coms, Iw = _body_kinematics(
         chain, xpos, xquat, q, qd, None, gravity)
-    # bias backward pass (inline of rnea_s tail, reusing kinematics)
-    nb = chain.nb
-    F = [None] * nb
-    N0 = [None] * nb
-    for b in range(nb):
-        dc = vsub(coms[b], xpos[b])
-        a_c = vadd(a_o[b], vadd(vcross(alpha[b], dc),
-                                vcross(omega[b], vcross(omega[b], dc))))
-        m = float(chain.mass[b])
-        f = vscale(a_c, m)
-        n = vadd(mat_vec(Iw[b], alpha[b]),
-                 vcross(omega[b], mat_vec(Iw[b], omega[b])))
-        F[b] = f
-        N0[b] = vadd(n, vcross(coms[b], f))
-    for b in range(nb - 1, 0, -1):
-        p = int(chain.parent[b])
-        F[p] = vadd(F[p], F[b])
-        N0[p] = vadd(N0[p], N0[b])
+    bias = _rnea_backward(chain, xpos, xquat, omega, alpha, a_o, coms, Iw)
     axes, anchors = dof_frames_s(chain, xpos, xquat)
-    bias = []
-    for d in range(chain.nv):
-        b = int(chain.dof_body[d])
-        if int(chain.joint_type[b]) == HINGE:
-            bias.append(vdot(axes[d], vsub(N0[b],
-                                           vcross(anchors[d], F[b]))))
-        else:
-            bias.append(vdot(axes[d], F[b]))
     M = crba_s(chain, xpos, xquat, coms, Iw)
     return xpos, xquat, axes, anchors, M, bias
 
@@ -423,9 +421,9 @@ def dynamics_s(chain, q, qd, gravity=(0.0, 0.0, -9.81)):
 # small scalar linear algebra
 # ---------------------------------------------------------------------------
 
-def chol_solve_s(M, b, n, reg=0.0):
-    """Solve (A + reg I) x = b for symmetric A given as dict {(i,j): v, i<=j}
-    and b list[n]. Unrolled Cholesky + substitution; floats fold."""
+def chol_factor_s(M, n, reg=0.0):
+    """Cholesky of (A + reg I), A symmetric dict {(i,j): v, i<=j}.
+    Returns (L lower-triangular lists, inv_diag)."""
     def A(i, j):
         key = (i, j) if i <= j else (j, i)
         return M.get(key, 0.0)
@@ -445,6 +443,12 @@ def chol_solve_s(M, b, n, reg=0.0):
                 inv_diag[i] = 1.0 / L[i][j]
             else:
                 L[i][j] = s * inv_diag[j]
+    return L, inv_diag
+
+
+def chol_apply_s(fac, b, n):
+    """Solve L L^T x = b given chol_factor_s output."""
+    L, inv_diag = fac
     y = [None] * n
     for i in range(n):
         s = b[i]
@@ -460,13 +464,19 @@ def chol_solve_s(M, b, n, reg=0.0):
     return x
 
 
+def chol_solve_s(M, b, n, reg=0.0):
+    """Solve (A + reg I) x = b (see chol_factor_s)."""
+    return chol_apply_s(chol_factor_s(M, n, reg), b, n)
+
+
 def spd_inverse_s(M, n, reg=0.0):
     """Full inverse of A (+ reg I) as dict {(i,j): v, i<=j} via n solves
-    against unit vectors (symmetrized)."""
+    against unit vectors (one shared factorization, symmetrized)."""
+    fac = chol_factor_s(M, n, reg)
     cols = []
     for j in range(n):
         e = [1.0 if i == j else 0.0 for i in range(n)]
-        cols.append(chol_solve_s(M, e, n, reg))
+        cols.append(chol_apply_s(fac, e, n))
     out = {}
     for i in range(n):
         for j in range(i, n):
@@ -484,3 +494,114 @@ def matvec_sym_s(M, x, n):
             s = s + M.get(key, 0.0) * x[j]
         out.append(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# cartesian DLS-IK impedance controller step (control/cartesian.step port)
+# ---------------------------------------------------------------------------
+
+def _where(c, a, b):
+    return jnp.where(c, a, b)
+
+
+def _clipv(x, lo, hi):
+    return jnp.minimum(jnp.maximum(x, lo), hi)
+
+
+def quat_error_s(curr, des):
+    """ops/quat.quat_error: wc*vd - wd*vc - vd x vc."""
+    wc, vc = curr[0], (curr[1], curr[2], curr[3])
+    wd, vd = des[0], (des[1], des[2], des[3])
+    return vsub(vsub(vscale(vd, wc), vscale(vc, wd)), vcross(vd, vc))
+
+
+def cart_step_s(ctrl_chain, gains, q_virt, old_des_vel, des_pos, des_quat_n,
+                dt):
+    """One controller update (control/cartesian.step), scalarized.
+
+    q_virt/old_des_vel: list[7]; des_pos vec3; des_quat_n pre-normalized
+    quat. Returns (q_new list[7], qd_des list[7], qdd_des list[7]). All
+    branching is elementwise jnp.where; gains constants fold.
+    """
+    from d3il_tpu.robot.panda import JOINT_POS_MIN, JOINT_POS_MAX
+    ee = ctrl_chain.body_index("panda_grasptarget")
+    pgain = [float(v) for v in list(gains.pgain_pos) + list(gains.pgain_quat)]
+    W = [float(v) for v in gains.W]
+    rest = [float(v) for v in gains.rest_posture]
+    pnull = [float(v) for v in gains.pgain_null]
+    lo = [float(v) for v in JOINT_POS_MIN]
+    hi = [float(v) for v in JOINT_POS_MAX]
+    lr = float(gains.learning_rate)
+    reg = float(gains.J_reg)
+    svd_lo = float(gains.min_svd_values)
+
+    q = list(q_virt)
+    fk0 = fk_s(ctrl_chain, q)
+    dq = des_quat_n
+
+    def ik_iter(q, dq, fk_cache):
+        xpos, xquat = fk_cache
+        cur_pos, cur_quat = xpos[ee], xquat[ee]
+        d_minus = sum((cur_quat[k] - dq[k]) ** 2 for k in range(4))
+        d_plus = sum((cur_quat[k] + dq[k]) ** 2 for k in range(4))
+        flip = _where(d_minus > d_plus, -1.0, 1.0)
+        dq2 = tuple(dq[k] * flip for k in range(4))
+        pos_err = tuple(_clipv(des_pos[k] - cur_pos[k], -0.01, 0.01)
+                        for k in range(3))
+        qe = quat_error_s(cur_quat, dq2)
+        quat_err = tuple(_clipv(qe[k], -0.1, 0.1) for k in range(3))
+        target = [pgain[k] * (pos_err + quat_err)[k] for k in range(6)]
+        axes, anchors = dof_frames_s(ctrl_chain, xpos, xquat)
+        # J [6, 7]: hinge cols (a x (p - r); a)
+        J = [[None] * 7 for _ in range(6)]
+        for d in range(7):
+            jp = vcross(axes[d], vsub(cur_pos, anchors[d]))
+            for k in range(3):
+                J[k][d] = jp[k]
+                J[3 + k][d] = axes[d][k]
+        # A = J W J^T + reg I
+        A = {}
+        for i in range(6):
+            for j in range(i, 6):
+                s = reg if i == j else 0.0
+                for d in range(7):
+                    s = s + J[i][d] * W[d] * J[j][d]
+                A[(i, j)] = s
+        qd_null = [pnull[d] * _clipv(rest[d] - q[d], -0.2, 0.2)
+                   for d in range(7)]
+        rhs = [target[i] - sum(J[i][d] * qd_null[d] for d in range(7))
+               for i in range(6)]
+        # clamped SPD solve (ops/linalg.clamped_spd_solve): Tikhonov + one
+        # refinement step through one shared factorization
+        fac = chol_factor_s(A, 6, svd_lo)
+        x0 = chol_apply_s(fac, rhs, 6)
+        x1 = chol_apply_s(fac, x0, 6)
+        y = [x0[i] + svd_lo * x1[i] for i in range(6)]
+        qd_d = [W[d] * sum(J[i][d] * y[i] for i in range(6)) + qd_null[d]
+                for d in range(7)]
+        nrm = jnp.sqrt(sum(v * v for v in qd_d))
+        scale = _where(nrm > 3.0, 3.0 / jnp.maximum(nrm, 1e-9), 1.0)
+        return [_clipv(q[d] + lr * qd_d[d] * scale, lo[d], hi[d])
+                for d in range(7)], dq2
+
+    for it in range(int(gains.num_iter)):
+        q, dq = ik_iter(q, dq, fk0 if it == 0 else fk_s(ctrl_chain, q))
+
+    # convergence gate (control/cartesian.py:107-123), on fk(q_virt) == fk0
+    xpos_f, xquat_f = fk0
+    cq = xquat_f[ee]
+    d_minus = sum((cq[k] - des_quat_n[k]) ** 2 for k in range(4))
+    d_plus = sum((cq[k] + des_quat_n[k]) ** 2 for k in range(4))
+    flip_f = _where(d_minus > d_plus, -1.0, 1.0)
+    dqf = tuple(des_quat_n[k] * flip_f for k in range(4))
+    pe = vsub(des_pos, xpos_f[ee])
+    qe = quat_error_s(cq, dqf)
+    converged = (jnp.sqrt(vdot(pe, pe)) < 5e-4) \
+        & (jnp.sqrt(vdot(qe, qe)) < 5e-3)
+    q = [_where(converged, q_virt[d], q[d]) for d in range(7)]
+
+    ddg = [float(v) for v in gains.ddgain]
+    qd_des = [(q[d] - q_virt[d]) / dt for d in range(7)]
+    qdd_des = [_clipv(ddg[d] * (qd_des[d] - old_des_vel[d]) / dt, -25.0, 25.0)
+               for d in range(7)]
+    return q, qd_des, qdd_des

@@ -600,16 +600,29 @@ def run_substeps_bm(params, sc, cs, des_pos, des_quat, set_width, grasp_flag):
     n_sub = params.n_substeps
     B = sb.q.shape[-1]
 
-    # 1) hoisted IK trajectory (its own scan; common.ik_trajectory)
-    def ik_body(carry, _):
-        qv, ov = carry
-        qv, ov, q_des, qd_des, qdd_des = cartesian_step_bm(
-            params.ctrl_chain, params.cart_gains, qv, ov, des_pos_bm,
-            des_quat_bm, params.dt)
-        return (qv, ov), (q_des, qd_des, qdd_des)
+    # 1) hoisted IK trajectory + feedforward: one Pallas kernel for the
+    #    whole window (engine/dyn_kernel.ik_window_bm); jnp scan fallback
+    use_ik_kernel = _dyn_kernel_on()
+    if use_ik_kernel:
+        from d3il_tpu.engine import dyn_kernel
+        (q_virt, old_vel, q_des_w, qd_des_w,
+         tau_model_kernel) = dyn_kernel.ik_window_bm(
+            params.ctrl_chain, params.cart_gains, n_sub, params.dt,
+            q_virt, old_vel, des_pos_bm, des_quat_bm,
+            interpret=jax.default_backend() != "tpu")
+        qdd_des_w = None
+    else:
+        tau_model_kernel = None
 
-    (q_virt, old_vel), (q_des_w, qd_des_w, qdd_des_w) = jax.lax.scan(
-        ik_body, (q_virt, old_vel), None, length=n_sub)
+        def ik_body(carry, _):
+            qv, ov = carry
+            qv, ov, q_des, qd_des, qdd_des = cartesian_step_bm(
+                params.ctrl_chain, params.cart_gains, qv, ov, des_pos_bm,
+                des_quat_bm, params.dt)
+            return (qv, ov), (q_des, qd_des, qdd_des)
+
+        (q_virt, old_vel), (q_des_w, qd_des_w, qdd_des_w) = jax.lax.scan(
+            ik_body, (q_virt, old_vel), None, length=n_sub)
     # window tensors [n_sub, 7, B]
 
     if params.kinematic:
@@ -619,20 +632,17 @@ def run_substeps_bm(params, sc, cs, des_pos, des_quat, set_width, grasp_flag):
             return sb, None
         sb, _ = jax.lax.scan(kin_body, sb, q_des_w)
     else:
-        # 2) model feedforward over the whole window in ONE call: fold the
-        #    window dim into the batch (common.run_substeps vmaps instead)
-        fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(7, n_sub * B)
-        if _dyn_kernel_on():
-            from d3il_tpu.engine import dyn_kernel
-            ff = dyn_kernel.feedforward_bm(
-                params.ctrl_chain, fold(q_des_w), fold(qd_des_w),
-                fold(qdd_des_w),
-                interpret=jax.default_backend() != "tpu")
+        # 2) model feedforward over the whole window: already produced by
+        #    the IK window kernel; jnp fallback folds the window dim into
+        #    the batch (one call instead of n_substeps sequential ones)
+        if tau_model_kernel is not None:
+            tau_model_w = tau_model_kernel
         else:
-            ff = model_feedforward_bm(params.ctrl_chain, fold(q_des_w),
-                                      fold(qd_des_w), fold(qdd_des_w))
-        tau_model_w = jnp.moveaxis(ff.reshape(7, n_sub, B), 1, 0)
-        # [n_sub,7,B]
+            fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(7, n_sub * B)
+            tau_model_w = jnp.moveaxis(
+                model_feedforward_bm(params.ctrl_chain, fold(q_des_w),
+                                     fold(qd_des_w), fold(qdd_des_w))
+                .reshape(7, n_sub, B), 1, 0)                  # [n_sub,7,B]
 
         def body(sb, inp):
             q_d, qd_d, tau_m = inp

@@ -110,6 +110,52 @@ def test_physics_substep_kernel_integration():
                                    err_msg=name)
 
 
+def test_ik_window_matches_jnp_scan():
+    """ik_window_bm (2-substep window, interpret) == the jnp IK scan +
+    folded feedforward of run_substeps_bm."""
+    from d3il_tpu.robot import panda
+    from d3il_tpu.control.gains import CartPosQuatGains
+
+    chain = panda.build_control_chain()
+    gains = CartPosQuatGains()
+    dt, n_sub, B = 1e-3, 2, 8
+    kq, ko, kp = jax.random.split(jax.random.PRNGKey(0), 3)
+    q_virt = jnp.asarray(panda.INIT_QPOS, jnp.float32)[:, None] \
+        + 0.2 * jax.random.normal(kq, (7, B))
+    old_vel = 0.05 * jax.random.normal(ko, (7, B))
+    des_pos = jnp.array([0.5, 0.0, 0.2])[:, None] \
+        + 0.05 * jax.random.normal(kp, (3, B))
+    des_quat = jnp.tile(jnp.array([0.0, 1.0, 0.0, 0.0])[:, None], (1, B))
+
+    def ik_body(carry, _):
+        qv, ov = carry
+        qv, ov, q_des, qd_des, qdd_des = substep_bm.cartesian_step_bm(
+            chain, gains, qv, ov, des_pos, des_quat, dt)
+        return (qv, ov), (q_des, qd_des, qdd_des)
+
+    (qv_ref, ov_ref), (qd_ref, qdd_ref, qddd_ref) = jax.lax.scan(
+        ik_body, (q_virt, old_vel), None, length=n_sub)
+    fold = lambda x: jnp.moveaxis(x, 0, 1).reshape(7, n_sub * B)
+    tau_ref = jnp.moveaxis(
+        substep_bm.model_feedforward_bm(chain, fold(qd_ref), fold(qdd_ref),
+                                        fold(qddd_ref))
+        .reshape(7, n_sub, B), 1, 0)
+
+    qv, ov, qdes, qddes, tau = dyn_kernel.ik_window_bm(
+        chain, gains, n_sub, dt, q_virt, old_vel, des_pos, des_quat,
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(qv_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(qdes), np.asarray(qd_ref),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(qddes), np.asarray(qdd_ref),
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ov_ref), atol=3e-2)
+    scale = max(np.abs(np.asarray(tau_ref)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(tau) / scale,
+                               np.asarray(tau_ref) / scale, atol=2e-3)
+
+
 def test_feedforward_matches_jnp():
     from d3il_tpu.robot import panda
     ctrl_chain = panda.build_control_chain()

@@ -107,6 +107,43 @@ def test_rnea_feedforward_matches_model_feedforward(name):
                                atol=3e-4 * scale)
 
 
+def test_cart_step_matches_cartesian():
+    from d3il_tpu.control import cartesian
+    from d3il_tpu.control.gains import CartPosQuatGains
+    from d3il_tpu.ops import quat as quat_ops
+    chain = panda.build_control_chain()
+    gains = CartPosQuatGains()
+    dt = 1e-3
+    n = 8
+    kq, kp = jax.random.split(jax.random.PRNGKey(5))
+    q0 = jnp.asarray(panda.INIT_QPOS, jnp.float32)[None] \
+        + 0.2 * jax.random.normal(kq, (n, 7))
+    ov = 0.05 * jax.random.normal(jax.random.PRNGKey(6), (n, 7))
+    des_pos = jnp.array([0.5, 0.0, 0.2]) \
+        + 0.05 * jax.random.normal(kp, (n, 3))
+    des_quat = jnp.tile(jnp.array([0.0, 1.0, 0.0, 0.0]), (n, 1))
+
+    def ref(q, o, dp):
+        st = cartesian.CartImpedanceState(q_virt=q, old_des_vel=o)
+        st2, q_des, qd_des, qdd_des = cartesian.step(
+            chain, gains, st, dp, des_quat[0], dt)
+        return q_des, qd_des, qdd_des
+
+    qr, qdr, qddr = jax.vmap(ref)(q0, ov, des_pos)
+
+    def scalar(q, o, dp):
+        dqn = dsc.qnormalize(tuple(des_quat[0][k] for k in range(4)))
+        qn, qd, qdd = dsc.cart_step_s(
+            chain, gains, [q[i] for i in range(7)], [o[i] for i in range(7)],
+            tuple(dp[k] for k in range(3)), dqn, dt)
+        return jnp.stack(qn), jnp.stack(qd), jnp.stack(qdd)
+
+    qs, qds, qdds = jax.vmap(scalar)(q0, ov, des_pos)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(qr), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qds), np.asarray(qdr), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(qdds), np.asarray(qddr), atol=2e-1)
+
+
 def test_chol_solve_and_inverse():
     rng = np.random.default_rng(0)
     for n in (6, 9):
