@@ -131,6 +131,6 @@ def step(ctrl_chain, gains: CartPosQuatGains, state: CartImpedanceState,
     # ~50% noise; +-25 rad/s^2 keeps full transient authority (M @ qdd up to
     # ~40 Nm on the heavy joints) while bounding the noise torque well below
     # the actuator limits.
-    qdd_des = jnp.clip(qdd_des, -25.0, 25.0)
+    qdd_des = jnp.clip(qdd_des, -gains.qdd_clip, gains.qdd_clip)
     new_state = CartImpedanceState(q_virt=q, old_des_vel=qd_des)
     return new_state, q, qd_des, qdd_des

@@ -37,6 +37,11 @@ class CartPosQuatGains:
     max_svd_values: float = 1e2
     num_iter: int = 3
     learning_rate: float = 0.001
+    # qdd_des finite-difference clamp (rad/s^2). The reference only guards
+    # against NaN (norm <= 10000, IKControllers.py:300); our float32 solve
+    # needs a physical-band clamp to bound limit-cycle jitter torque
+    # (control/cartesian.py notes). Configurable for experiments.
+    qdd_clip: float = 25.0
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,24 @@ def avoiding_expert_step(st: AvoidingExpertState, des_xy, tcp_xy, waypoints):
 class PushExpertState(NamedTuple):
     stage: jax.Array   # which (box, target) pair
     phase: jax.Array   # 0 approach, 1 push
+    # dynamic-mode progress watchdog: consecutive push steps without the box
+    # nearing the target (breaks corner-contact deadlocks via re-approach)
+    stall: jax.Array
+    prev_d: jax.Array
+    # dynamic-mode strike: 1 while executing a strike toward the SPATIALLY
+    # FIXED point strike_end (computed at strike entry; a box-tracking cap
+    # degenerates to the ~35 mm/s carried push the strike exists to escape)
+    striking: jax.Array
+    strike_end: jax.Array
+
+
+def init_push_expert_state():
+    return PushExpertState(stage=jnp.array(0, jnp.int32),
+                           phase=jnp.array(0, jnp.int32),
+                           stall=jnp.array(0, jnp.int32),
+                           prev_d=jnp.array(1e3, jnp.float32),
+                           striking=jnp.array(0, jnp.int32),
+                           strike_end=jnp.zeros(2, jnp.float32))
 
 
 PUSH_APPROACH = 0.065
@@ -105,9 +123,18 @@ PUSH_DEPTH_DYN = 0.020
 
 
 def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active,
-                  block_r: float = 0.075, detour_r: float = 0.11):
+                  block_r: float = 0.075, detour_r: float = 0.11,
+                  app_step: float = 0.01, app_lead: float = 0.03,
+                  bounds=None):
     """First active obstacle blocking the straight line -> detour point
-    (experts.PushingExpert approach branch, vectorized over obstacles)."""
+    (experts.PushingExpert approach branch, vectorized over obstacles).
+
+    app_step/app_lead pace the approach carrot. The impedance-tracked plant
+    follows a moving setpoint with lag ~= v * 0.42 s (tools/
+    diag_dynamic_push.py: free-space lag 77 mm at 183 mm/s, identical on the
+    C-MuJoCo golden), so a lead cap L limits travel speed to ~L / 0.42 —
+    dynamic mode must run much larger leads than kinematic mode (where
+    tcp == des and the cap never binds)."""
     v = approach_pt - tcp_xy
     L = jnp.linalg.norm(v) + 1e-9
     w = v / L
@@ -127,18 +154,33 @@ def _route_around(des_xy, tcp_xy, approach_pt, obstacles, active,
         perp = jnp.array([-w[1], w[0]])
         side = jnp.where(jnp.dot(tcp_xy - ob, perp) >= 0, 1.0, -1.0)
         detour = ob + perp * side * detour_r
+        if bounds is not None:
+            # a detour point outside the work area (platform edge) walks the
+            # rod into a corner it can't route out of — flip sides instead
+            lo, hi = bounds
+            outside = ((detour < lo) | (detour > hi)).any()
+            detour = jnp.where(outside, ob - perp * side * detour_r, detour)
         use = blocking & ~found
         return (found | blocking, jnp.where(use, detour, target)), None
 
     (found, target_pt), _ = jax.lax.scan(
         check, (jnp.array(False), approach_pt), (obstacles, active))
-    nxt = _step_toward(des_xy, target_pt, 0.01)
-    return _limit_lead(nxt, tcp_xy, 0.03)
+    nxt = _step_toward(des_xy, target_pt, app_step)
+    # approach braking: at ~190 mm/s the tracking lag is ~80 mm, so an
+    # uncontracted lead overshoots the approach point by a wide loop that
+    # costs 1-2 s per cycle; shrink the lead as the rod closes in
+    lead_eff = jnp.minimum(app_lead,
+                           0.5 * jnp.linalg.norm(target_pt - tcp_xy) + 0.025)
+    return _limit_lead(nxt, tcp_xy, lead_eff)
 
 
 def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
                         seq_box, seq_tgt, push_depth=PUSH_DEPTH,
-                        push_step=0.006, lead=0.04):
+                        push_step=0.006, lead=0.04,
+                        app_step=0.01, app_lead=0.03,
+                        strike_depth=None, strike_lead=0.12,
+                        strike_radius=0.16, near_r=0.015,
+                        block_r=0.075, detour_r=0.11):
     """seq_box [2] int, seq_tgt [2,2]: per-mode (box, target) order.
 
     push_step/lead: how fast the setpoint carrot advances and how far it may
@@ -155,13 +197,19 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
 
     stage_done = d_tgt < PUSH_STOP
     approach_pt = bpos - u * PUSH_APPROACH
-    near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
+    rel0 = tcp_xy - bpos
+    near = (jnp.linalg.norm(approach_pt - tcp_xy) < near_r) \
+        & (jnp.dot(rel0, u) < -0.05)   # rod genuinely behind the box
+    entering = near & (st.phase == 0)
     phase = jnp.where(stage_done, 0, jnp.where(near, 1, st.phase))
-    # rod out of pushing position (wrong side of the box / off the push
-    # line, e.g. after the box slipped sideways): re-approach
     rel = tcp_xy - bpos
     along = jnp.dot(rel, u)
     perp = jnp.linalg.norm(rel - along * u)
+
+    striking = st.striking
+    strike_end = st.strike_end
+    # rod out of pushing position (wrong side of the box / off the push
+    # line, e.g. after the box slipped sideways): re-approach
     bad = (phase == 1) & ((along > -0.005) | (perp > 0.05))
     phase = jnp.where(bad & ~near, 0, phase)
 
@@ -170,17 +218,58 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     # plows it away from the target (the |ob-tcp| < L term releases the
     # detour once the rod is closer to the approach point than to the box)
     others = jnp.ones(boxes_xy.shape[0], bool)
-    nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others)
-    push_pt = bpos - u * push_depth
-    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, push_step), tcp_xy,
-                           lead)
+    nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others,
+                            block_r=block_r, detour_r=detour_r,
+                            app_step=app_step, app_lead=app_lead)
+    # Strike-chase vs precision push (dynamic mode): the impedance arm's
+    # sustained slow push tops out at ~35-55 mm/s even on the C-MuJoCo golden
+    # (tools/diag_dynamic_push.py depth sweep), which overruns the 400-step
+    # horizon. Far from the target the carrot therefore drives THROUGH the
+    # box (negative depth = run-through) with a large lead: a fast carried
+    # push at 300+ mm/s whose free-skid overshoot is negligible (50 g box at
+    # 0.5 m/s slides v^2/2{mu}g ~ 13 mm). Near the target it falls back to
+    # the shallow-carrot precision push that parks the box inside the 0.05
+    # success radius. strike_depth=None disables (kinematic mode).
+    if strike_depth is None:
+        # kinematic mode: classic box-anchored carrot at fixed indent
+        push_pt = bpos - u * push_depth
+        nxt_push = _limit_lead(_step_toward(des_xy, push_pt, push_step),
+                               tcp_xy, lead)
+    else:
+        # Dynamic push: continuous line-anchored carried push. A box-anchored
+        # carrot keeps only ~depth of spring tension and sustains ~35 mm/s
+        # (tools/diag_dynamic_push.py depth sweep, identical on the C-MuJoCo
+        # golden) — too slow for the 400-step horizon — while discrete
+        # strikes deflect the box off-line at every impact (staircase box
+        # paths). Here the carrot lives ON the line through the box center
+        # toward the target, a fixed advance `strike_lead` AHEAD OF THE ROD
+        # (constant spring tension through the catch-push cycle, automatic
+        # lateral re-centering), and is capped at the SPATIAL park point
+        # `strike_radius` short of the target so the box is never driven
+        # past the success radius: box face contact at cap + 0.04 leaves the
+        # box center ~(strike_radius - 0.04) short of the target center.
+        s_carrot = jnp.minimum(along + strike_lead, d_tgt - strike_radius)
+        nxt_push = bpos + u * s_carrot
+
+    # progress watchdog (dynamic mode): pushing without the box nearing the
+    # target for ~1.2 s means a corner-contact deadlock — force a fresh
+    # approach from the current line
+    progressing = d_tgt < st.prev_d - 5e-4
+    stall = jnp.where((phase == 1) & ~progressing, st.stall + 1, 0)
+    stalled = stall > 35
+    phase = jnp.where(stalled, 0, phase)
+    stall = jnp.where(stalled, 0, stall)
 
     nxt = jnp.where(phase == 1, nxt_push, nxt_app)
     new_stage = st.stage + stage_done.astype(st.stage.dtype)
     delta = jnp.where(stage_done | (st.stage >= 2), jnp.zeros(2),
                       nxt - des_xy)
     return PushExpertState(stage=jnp.minimum(new_stage, 2),
-                           phase=jnp.where(stage_done, 0, phase)), delta
+                           phase=jnp.where(stage_done, 0, phase),
+                           stall=stall,
+                           prev_d=jnp.where(stage_done, 1e3, d_tgt),
+                           striking=jnp.where(stage_done, 0, striking),
+                           strike_end=strike_end), delta
 
 
 # ---------------------------------------------------------------- sorting
@@ -197,7 +286,12 @@ SORT_BLUE_X = 0.625
 
 
 def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
-                        order, half, push_depth=PUSH_DEPTH):
+                        order, half, push_depth=PUSH_DEPTH,
+                        pstep_slow=0.006, pstep_fast=0.010,
+                        lead_slow=0.04, lead_fast=0.05,
+                        app_step=0.01, app_lead=0.03, near_r=0.015,
+                        dyn=False, dyn_adv=0.09, x_ok_r=0.015,
+                        block_r=0.075, detour_r=0.11):
     """Two-leg push per box: align x to the zone center, then eject toward
     (x_zone, 0.30) over the +y platform edge with continuous aim correction
     (an uncorrected straight +y push drifts laterally several cm).
@@ -212,7 +306,13 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
     # (z below the platform top; a box hanging ON the edge sits too low for
     # the rod to reach, so a drop also ends the stage)
     dropped = (bp3[2] < 0.06) & (bp3[1] > 0.15)
-    box_done = (bp3[1] > SORT_DONE_Y) | dropped
+    ejected = bp3[1] > SORT_DONE_Y
+    if dyn:
+        # dynamic pushes can creep a box over the edge line while its x is
+        # still out of band — keep working it until the x fits the zone
+        ejected = ejected & (jnp.abs(jnp.where(
+            b < half, SORT_RED_X, SORT_BLUE_X) - bp3[0]) < 0.09)
+    box_done = ejected | dropped
     stage2 = jnp.minimum(st.stage + box_done.astype(st.stage.dtype), n)
     finished = stage2 >= n
     stage_c = jnp.minimum(stage2, n - 1)
@@ -236,7 +336,7 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
 
     x_tgt = jnp.where(b < half, SORT_RED_X, SORT_BLUE_X)
     dx = x_tgt - bpos[0]
-    x_ok = jnp.abs(dx) < 0.015
+    x_ok = jnp.abs(dx) < x_ok_r
     ux = jnp.array([1.0, 0.0]) * jnp.sign(dx)
     aim = jnp.array([1.0, 0.0]) * x_tgt + jnp.array([0.0, 1.0]) * 0.30
     to_aim = aim - bpos
@@ -246,20 +346,52 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
     u = jnp.where(phase >= 2, uy, ux)
 
     approach_pt = bpos - u * PUSH_APPROACH
-    near = jnp.linalg.norm(approach_pt - tcp_xy) < 0.015
+    near = jnp.linalg.norm(approach_pt - tcp_xy) < near_r
     in_approach = (phase == 0) | (phase == 2)
     phase = jnp.where(in_approach & near, phase + 1, phase)
 
+    sort_bounds = (jnp.array([0.28, -0.28]), jnp.array([0.72, 0.28])) \
+        if dyn else None
     nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy,
-                            boxes_pos[:, 2] > 0.06)
+                            boxes_pos[:, 2] > 0.06,
+                            block_r=block_r, detour_r=detour_r,
+                            app_step=app_step, app_lead=app_lead,
+                            bounds=sort_bounds)
     # speed through the edge so momentum carries the box clear of the lip
     near_edge = (phase == 3) & (bpos[1] > 0.12)
-    pstep = jnp.where(near_edge, 0.010, 0.006)
-    lead = jnp.where(near_edge, 0.05, 0.04)
+    pstep = jnp.where(near_edge, pstep_fast, pstep_slow)
+    lead = jnp.where(near_edge, lead_fast, lead_slow)
     push_pt = bpos - u * push_depth
-    nxt_push = _limit_lead(_step_toward(des_xy, push_pt, pstep), tcp_xy, lead)
+    nxt_push_kin = _limit_lead(_step_toward(des_xy, push_pt, pstep),
+                               tcp_xy, lead)
     in_push = (phase == 1) | (phase == 3)
+    if dyn:
+        # dynamic mode: line-anchored carried push (see pushing_expert_step)
+        # — carrot on the box->aim line, dyn_adv ahead of the rod. The y-leg
+        # ejects over the platform edge, so its cap is deep (the zone is
+        # 0.19 m long, overshoot is harmless); the x-leg parks the box over
+        # the zone's x-band
+        rel_b = tcp_xy - bpos
+        along_b = jnp.dot(rel_b, u)
+        dist_aim = jnp.where(phase >= 2,
+                             jnp.linalg.norm(aim - bpos),
+                             jnp.abs(dx))
+        margin = jnp.where(phase >= 2, 0.02, 0.058)
+        s_carrot = jnp.minimum(along_b + dyn_adv, dist_aim - margin)
+        nxt_push = bpos + u * s_carrot
+        # rod slipped past the box (box escaped sideways): the rod-anchored
+        # carrot would run away to the aim point — drop back to approach
+        slipped = in_push & (along_b > -0.005)
+        phase = jnp.where(slipped, phase - 1, phase)
+        in_push = in_push & ~slipped
+    else:
+        nxt_push = nxt_push_kin
     nxt = jnp.where(in_push, nxt_push, nxt_app)
+    if dyn:
+        # keep the carrot over the platform: a detour or runaway target off
+        # the platform walks the rod where no box can follow
+        nxt = jnp.clip(nxt, jnp.array([0.26, -0.30]),
+                       jnp.array([0.74, 0.30]))
     delta = jnp.where(finished | box_done, jnp.zeros(2), nxt - des_xy)
     return SortingExpertState(stage=stage2, phase=phase, prev_b=b), delta
 
@@ -727,8 +859,7 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
     def init(ctx, key):
         state = env.reset(params, ctx)
         tcp0, _ = params.tcp_pose(state.scene)
-        es0 = PushExpertState(stage=jnp.array(0, jnp.int32),
-                              phase=jnp.array(0, jnp.int32))
+        es0 = init_push_expert_state()
         return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
     def step_once(cw):
@@ -737,10 +868,16 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
         key, kn = jax.random.split(key)
         tcp, _ = params.tcp_pose(state.scene)
         boxes = state.scene.free_pos[:, :2]
-        pstep, plead = (0.006, 0.04) if params.kinematic else (0.012, 0.06)
+        if params.kinematic:
+            kw = dict(push_step=0.006, lead=0.04, app_step=0.01,
+                      app_lead=0.03)
+        else:
+            kw = dict(push_step=0.011, lead=0.05, app_step=0.011,
+                      app_lead=0.08, strike_depth=-0.06, strike_lead=0.09,
+                      strike_radius=0.058, near_r=0.045,
+                      block_r=0.095, detour_r=0.13)
         es2, delta = pushing_expert_step(es, des, tcp[:2], boxes, seq_box,
-                                         seq_tgt, push_depth=depth,
-                                         push_step=pstep, lead=plead)
+                                         seq_tgt, push_depth=depth, **kw)
         noise = jax.random.normal(kn, des.shape) * DES_NOISE
         des2 = jnp.where(done, des,
                          des + jnp.clip(delta + noise, -0.011, 0.011))
@@ -770,6 +907,18 @@ def make_sorting_runner(params, chunk_len: int = CHUNK):
                                  prev_b=jnp.array(-1, jnp.int32))
         return EpCarry(state, es0, tcp0[:2], jnp.array(False), key), tcp0[2:3]
 
+    if params.kinematic:
+        sort_kw = dict(push_depth=depth)
+    else:
+        # dynamic pacing: the box-anchored carried push is stable up to
+        # ~45 mm/s at depth 0.045 (tools/diag_dynamic_push.py depth sweep);
+        # sorting's 700-step horizon and ~0.35 m per-box travel fit at that
+        # speed with fast approaches
+        sort_kw = dict(push_depth=0.045, pstep_slow=0.011, pstep_fast=0.011,
+                       lead_slow=0.06, lead_fast=0.075, app_step=0.011,
+                       app_lead=0.08, near_r=0.045, dyn=True, dyn_adv=0.09,
+                       x_ok_r=0.03, block_r=0.105, detour_r=0.15)
+
     def step_once(cw):
         carry, (order, fixed_z) = cw
         state, es, des, done, key = carry
@@ -777,7 +926,7 @@ def make_sorting_runner(params, chunk_len: int = CHUNK):
         tcp, _ = params.tcp_pose(state.scene)
         es2, delta = sorting_expert_step(es, des, tcp[:2],
                                          state.scene.free_pos, order, half,
-                                         push_depth=depth)
+                                         **sort_kw)
         noise = jax.random.normal(kn, des.shape) * DES_NOISE
         des2 = jnp.where(done, des,
                          des + jnp.clip(delta + noise, -0.011, 0.011))
