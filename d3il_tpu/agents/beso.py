@@ -58,9 +58,42 @@ class ScoreMLP(nn.Module):
                            self.action_dim)(x)
 
 
+class ScoreGPT(nn.Module):
+    """Causal-transformer score backbone (reference DiffusionGPT,
+    score_gpts.py:118): token sequence [sigma, s_1, a_1, ..., s_W, a_W]
+    with shared per-timestep position embeddings for the (s_t, a_t) pair
+    and action-token outputs decoded to denoised actions
+    (score_gpts.py:330-358)."""
+    n_embd: int = 120
+    n_head: int = 4
+    n_layer: int = 4
+    window: int = 5
+    action_dim: int = 2
+
+    @nn.compact
+    def __call__(self, s, a, sigma):
+        """s [B,W,Ds], a [B,W,Da] (noised), sigma [B] -> denoised [B,W,Da]."""
+        from d3il_tpu.agents.nets.transformer import Block
+        B, W, _ = s.shape
+        temb = nn.Dense(self.n_embd)((jnp.log(sigma) / 4.0)[:, None])
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (1, self.window, self.n_embd))
+        se = nn.Dense(self.n_embd)(s) + pos[:, :W]
+        ae = nn.Dense(self.n_embd)(a) + pos[:, :W]
+        sa = jnp.stack([se, ae], axis=2).reshape(B, 2 * W, self.n_embd)
+        x = jnp.concatenate([temb[:, None], sa], axis=1)
+        for _ in range(self.n_layer):
+            x = Block(self.n_embd, self.n_head)(x)
+        x = nn.LayerNorm()(x)
+        act_tok = x[:, 1:].reshape(B, W, 2, self.n_embd)[:, :, 1]
+        h = nn.silu(nn.Dense(100)(act_tok))
+        return nn.Dense(self.action_dim)(h)
+
+
 def edm_denoise(model, params, s, a, sigma):
-    """EDM preconditioning (score_wrappers.py:18, Karras et al. 2022)."""
-    sig = sigma[..., None]
+    """EDM preconditioning (score_wrappers.py:18, Karras et al. 2022).
+    Broadcasts over trailing action dims ([B,Da] or [B,W,Da])."""
+    sig = sigma.reshape(sigma.shape + (1,) * (a.ndim - sigma.ndim))
     c_skip = SIGMA_DATA ** 2 / (sig ** 2 + SIGMA_DATA ** 2)
     c_out = sig * SIGMA_DATA / jnp.sqrt(sig ** 2 + SIGMA_DATA ** 2)
     c_in = 1.0 / jnp.sqrt(sig ** 2 + SIGMA_DATA ** 2)
@@ -376,45 +409,62 @@ SAMPLERS = {"euler": sample_euler, "ddim": sample_ddim,
 
 @dataclass
 class BesoAgent:
-    model: ScoreMLP
+    model: Any
     params: Any
     scaler: Scaler
     n_steps: int = 8
     sampler: str = "euler_ancestral"
     schedule: str = "exponential"
     window_size: int = 1
+    backbone: str = "mlp"
 
     @staticmethod
     def create(key, obs_dim, action_dim, scaler, hidden_dim=256,
                num_hidden_layers=4, n_steps=8, sampler="euler_ancestral",
-               schedule="exponential", window_size=1, **_):
+               schedule="exponential", window_size=1, backbone="mlp",
+               n_embd=120, n_head=4, n_layer=4, **_):
         # defaults follow configs/agents/beso_agent.yaml:107-116
-        # (num_sampling_steps 8, euler_ancestral)
-        model = ScoreMLP(hidden_dim=hidden_dim,
-                         num_hidden_layers=num_hidden_layers,
-                         action_dim=action_dim)
-        params = model.init(key, jnp.zeros((1, obs_dim * window_size)),
-                            jnp.zeros((1, action_dim)), jnp.ones((1,)))
+        # (num_sampling_steps 8, euler_ancestral); backbone="gpt" switches to
+        # the reference's DiffusionGPT transformer (score_gpts.py:118)
+        if backbone == "gpt":
+            model = ScoreGPT(n_embd=n_embd, n_head=n_head, n_layer=n_layer,
+                             window=window_size, action_dim=action_dim)
+            params = model.init(key, jnp.zeros((1, window_size, obs_dim)),
+                                jnp.zeros((1, window_size, action_dim)),
+                                jnp.ones((1,)))
+        else:
+            model = ScoreMLP(hidden_dim=hidden_dim,
+                             num_hidden_layers=num_hidden_layers,
+                             action_dim=action_dim)
+            params = model.init(key, jnp.zeros((1, obs_dim * window_size)),
+                                jnp.zeros((1, action_dim)), jnp.ones((1,)))
         return BesoAgent(model=model, params=params, scaler=scaler,
                          n_steps=n_steps, sampler=sampler, schedule=schedule,
-                         window_size=window_size)
+                         window_size=window_size, backbone=backbone)
 
     def loss_fn(self):
         """EDM weighted denoising loss with log-normal sigma density
-        (beso_agent.py:597+ sigma distribution, rand_log_logistic-ish)."""
+        (beso_agent.py:597+ sigma distribution, rand_log_logistic-ish).
+        The GPT backbone denoises the whole action window (one action token
+        per obs token, score_gpts.py:330-358); the MLP denoises the last
+        action of the window."""
         model, scaler = self.model, self.scaler
+        gpt = self.backbone == "gpt"
 
         def loss(params, obs_w, act_w, key):
             B = obs_w.shape[0]
-            s = scaler.scale_input(obs_w).reshape(B, -1)
-            a0 = scaler.scale_output(act_w[:, -1])
+            sw = scaler.scale_input(obs_w)
+            s = sw if gpt else sw.reshape(B, -1)
+            a0 = scaler.scale_output(act_w) if gpt \
+                else scaler.scale_output(act_w[:, -1])
             k1, k2 = jax.random.split(key)
             sigma = rand_log_logistic(k1, (B,))
             noise = jax.random.normal(k2, a0.shape)
-            a_noisy = a0 + sigma[:, None] * noise
+            sig_b = sigma.reshape((B,) + (1,) * (a0.ndim - 1))
+            a_noisy = a0 + sig_b * noise
             den = edm_denoise(model, params, s, a_noisy, sigma)
             w = (sigma ** 2 + SIGMA_DATA ** 2) / (sigma * SIGMA_DATA) ** 2
-            return jnp.mean(w[:, None] * (den - a0) ** 2)
+            return jnp.mean(w.reshape(sig_b.shape) * (den - a0) ** 2)
 
         return loss
 
@@ -422,7 +472,7 @@ class BesoAgent:
         model, scaler, W = self.model, self.scaler, self.window_size
         sigmas = SIGMA_SCHEDULES[self.schedule](self.n_steps)
         sampler_fn = SAMPLERS[self.sampler]
-        adim = None
+        gpt = self.backbone == "gpt"
 
         def apply(params, carry, obs):
             window, filled, key = carry
@@ -435,15 +485,19 @@ class BesoAgent:
                                jnp.broadcast_to(obs[None], shifted.shape),
                                shifted)
             filled = jnp.minimum(filled + 1, W)
-            s = scaler.scale_input(window).reshape(1, -1)
+            sw = scaler.scale_input(window)
+            s = sw[None] if gpt else sw.reshape(1, -1)
 
             def denoise(a, sigma):
                 return edm_denoise(model, params, s, a,
                                    jnp.broadcast_to(sigma, (1,)))
 
             key, k0, k1 = jax.random.split(key, 3)
-            a = jax.random.normal(k0, (1, scaler.y_mean.shape[-1])) * SIGMA_MAX
-            a = sampler_fn(denoise, a, sigmas, k1)[0]
+            adim = scaler.y_mean.shape[-1]
+            shape = (1, W, adim) if gpt else (1, adim)
+            a = jax.random.normal(k0, shape) * SIGMA_MAX
+            a = sampler_fn(denoise, a, sigmas, k1)
+            a = a[0, -1] if gpt else a[0]
             act = scaler.inverse_scale_output(scaler.clip_action(a))
             return (window, filled, key), act
 

@@ -36,6 +36,11 @@ class TaskSpec:
     # reference's configs/<task>_config.yaml hyperparameters), applied by
     # run_train.make_args before explicit overrides.
     train_kw: dict = field(default_factory=dict)
+    # Per-(task, agent) constructor overrides — the replacement for the
+    # reference's 23 per-task-tuned configs/agents/*.yaml files. Keys are
+    # agent names; values are extra kwargs merged into the agent constructor
+    # after the generic CLI hyperparameters (run_train.build_agent_and_data).
+    agent_kw: dict = field(default_factory=dict)
 
     def env(self):
         return importlib.import_module(self.env_module)
@@ -69,7 +74,12 @@ TASKS: dict[str, TaskSpec] = {
         # human demos; measured on our scripted demos + MLP heads, window 5
         # roughly halves every agent's success (bc 0.22->0.10, gmm
         # 0.28->0.07), so the tuned default here stays 1
-        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16}),
+        train_kw={"epochs": 100, "n_contexts": 30, "n_trajs": 16},
+        # the diffusion family needs the reference's transformer score
+        # backbone on pushing (DiffusionGPT, score_gpts.py:118) — the MLP
+        # backbone's conditioning error sits at the demo noise floor and its
+        # success trails gmm by >10x (RESULTS.md diffusion-gap diagnosis)
+        agent_kw={"beso": {"backbone": "gpt", "window_size": 5}}),
     "aligning": TaskSpec(
         "aligning", "d3il_tpu.envs.aligning", "AligningParams",
         ds.assemble_aligning, 20, 3, "AligningSim", "rod3", 400,
@@ -156,6 +166,15 @@ AGENTS: dict[str, AgentSpec] = {
                              "VisionCVAEAgent", vision=True),
     "beso_vision": AgentSpec("beso_vision", "d3il_tpu.agents.vision",
                              "VisionBesoAgent", ema_decay=0.995, vision=True),
+    "act_vision": AgentSpec("act_vision", "d3il_tpu.agents.vision",
+                            "VisionACTAgent", vision=True),
+    "gpt_bc_vision": AgentSpec("gpt_bc_vision", "d3il_tpu.agents.vision",
+                               "VisionGPTBCAgent", vision=True),
+    "ibc_vision": AgentSpec("ibc_vision", "d3il_tpu.agents.vision",
+                            "VisionIBCAgent", vision=True),
+    "ddpm_encdec_vision": AgentSpec(
+        "ddpm_encdec_vision", "d3il_tpu.agents.vision",
+        "VisionDDPMEncDecAgent", ema_decay=0.995, vision=True),
 }
 
 

@@ -44,6 +44,10 @@ def load_agent(ckpt_path: str):
     kw = run_train.agent_kwargs(meta["agent"], int(meta["window"]),
                                 int(meta["hidden"]), int(meta["layers"]),
                                 int(meta["chunk"]), int(meta["ddpm_steps"]))
+    # per-(task, agent) constructor overrides recorded at train time
+    # (registry.TaskSpec.agent_kw) — required to rebuild e.g. a
+    # gpt-backbone BESO identically
+    kw.update(meta.get("agent_extra", {}))
     if registry.AGENTS[meta["agent"]].vision:
         from d3il_tpu.vision import taskviews
         kw["render_fn"] = taskviews.make_render_obs(meta["task"])

@@ -54,14 +54,14 @@ def agent_kwargs(name: str, window: int, hidden: int, layers: int,
     if name in ("bc", "cvae", "gmm", "ibc", "beso", "ddpm") or \
             name.endswith("_vision"):
         kw.update(hidden_dim=hidden, num_hidden_layers=layers)
-    if name in ("act", "ddpm_encdec"):
+    if name in ("act", "ddpm_encdec", "act_vision", "ddpm_encdec_vision"):
         kw["chunk"] = chunk   # keep window_size etc. (don't clobber kw)
         if window != 1:
             print(f"warning: --window {window} has no effect for {name} "
                   "(single-obs chunk policies)")
-    if name in ("ddpm", "ddpm_encdec", "ddpm_vision"):
+    if name in ("ddpm", "ddpm_encdec", "ddpm_vision", "ddpm_encdec_vision"):
         kw["n_timesteps"] = ddpm_steps
-    if name == "gpt_bc":
+    if name in ("gpt_bc", "gpt_bc_vision"):
         kw["window_size"] = max(window, 5)
     return kw
 
@@ -91,6 +91,12 @@ def build_agent_and_data(args, key):
 
     kw = agent_kwargs(args.agent, args.window, args.hidden, args.layers,
                       args.chunk, args.ddpm_steps)
+    # per-(task, agent) tuned overrides (registry.TaskSpec.agent_kw — the
+    # reference's configs/agents/*.yaml equivalents) trump the generic CLI
+    # hyperparameters
+    extra = dict(spec.agent_kw.get(args.agent, {}))
+    kw.update(extra)
+    args.agent_extra = extra
     if registry.AGENTS[args.agent].vision:
         from d3il_tpu.vision import taskviews
         kw["render_fn"] = taskviews.make_render_obs(args.task)
@@ -168,6 +174,7 @@ def run_one(args) -> dict:
             "window": args.window, "hidden": args.hidden,
             "layers": args.layers, "chunk": args.chunk,
             "ddpm_steps": args.ddpm_steps,
+            "agent_extra": getattr(args, "agent_extra", {}),
             "scale_data": bool(agent.scaler.scale_data)},
             "scaler": {k: v for k, v in agent.scaler._asdict().items()
                        if k != "scale_data"}}

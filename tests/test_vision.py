@@ -192,3 +192,42 @@ def test_vision_gmm_cvae_beso_smoke():
         _, a = jax.jit(agent.policy_apply())(
             agent.params, agent.init_carry(10, key), jnp.asarray(obs[0, 0]))
         assert np.isfinite(np.asarray(a)).all(), cls.__name__
+
+
+def test_vision_act_gptbc_ibc_encdec_smoke():
+    """Round-5 vision heads (act/gpt_bc/ibc/ddpm_encdec): one train step +
+    one policy action each (the last 4 of the reference's 9 vision variants,
+    agents/{act,gpt_bc,ibc,ddpm_encdec}_vision_agent.py)."""
+    from d3il_tpu.agents.vision import (VisionACTAgent, VisionGPTBCAgent,
+                                        VisionIBCAgent,
+                                        VisionDDPMEncDecAgent)
+    from d3il_tpu.data import dataset as ds
+    from d3il_tpu.data.scaler import Scaler
+    from d3il_tpu.vision import taskviews
+
+    render = taskviews.make_pushing_view(res=32)
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(0.3, 0.7, size=(2, 12, 10)).astype(np.float32)
+    act = rng.normal(scale=0.01, size=(2, 12, 2)).astype(np.float32)
+    d = ds.build([(obs[i], act[i]) for i in range(2)], 12, 1)
+    x, y = ds.all_valid(d)
+    scaler = Scaler.fit(x, y)
+    key = jax.random.PRNGKey(0)
+
+    for cls, kw in ((VisionACTAgent, dict(chunk=4, embed_dim=32)),
+                    (VisionGPTBCAgent, dict(window_size=3, n_embd=32,
+                                            n_layer=2)),
+                    (VisionIBCAgent, dict(hidden_dim=32,
+                                          num_hidden_layers=2)),
+                    (VisionDDPMEncDecAgent, dict(chunk=4, embed_dim=32,
+                                                 n_timesteps=4))):
+        agent = cls.create(key, 10, 2, scaler, render, low_dim=4, res=32,
+                           **kw)
+        W = getattr(agent, "train_window", None) or agent.window_size
+        dW = ds.rewindow(d, W)
+        ow, aw = ds.sample_windows(dW, key, 4, W)
+        l = jax.jit(agent.loss_fn())(agent.params, ow, aw, key)
+        assert np.isfinite(float(l)), cls.__name__
+        _, a = jax.jit(agent.policy_apply())(
+            agent.params, agent.init_carry(10, key), jnp.asarray(obs[0, 0]))
+        assert np.isfinite(np.asarray(a)).all(), cls.__name__
