@@ -26,7 +26,7 @@ BASELINE_ENV_STEPS_PER_S = 100_000.0
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
 
     params = pushing.PushingParams()
