@@ -196,10 +196,32 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     u = to_tgt / (d_tgt + 1e-9)
 
     stage_done = d_tgt < PUSH_STOP
-    approach_pt = bpos - u * PUSH_APPROACH
+    dyn = strike_depth is not None
+    # Dynamic mode approaches DEEPER behind the box: the 5.5 cm on-line
+    # run-up from the staging point doubles as an alignment creep before
+    # first contact (tools/diag_push_ep.py: engaging with perp up to 4 cm —
+    # larger than the 3 cm box half-size — corner-hits the box, which yaws
+    # away while the rod slides past it, costing ~100 steps per slip cycle).
+    app_back = (PUSH_APPROACH + 0.03) if dyn else PUSH_APPROACH
+    approach_pt = bpos - u * app_back
     rel0 = tcp_xy - bpos
-    near = (jnp.linalg.norm(approach_pt - tcp_xy) < near_r) \
-        & (jnp.dot(rel0, u) < -0.05)   # rod genuinely behind the box
+    along0 = jnp.dot(rel0, u)
+    perp0 = jnp.linalg.norm(rel0 - along0 * u)
+    if dyn:
+        # engage only when genuinely behind the box AND on the push line
+        # (-0.038: a rod already at the contact face may re-engage in place —
+        # the endgame otherwise forces a full back-out + re-approach)
+        behind = (along0 > -app_back - 0.045) & (along0 < -0.038)
+        # tension gate |des-tcp|: engaging while the approach spring is
+        # still stretched turns the catch into a ballistic strike that
+        # launches the box tens of cm off line (diag ep0: 50 cm in one
+        # 50-step chunk)
+        near = behind & (perp0 < 0.016) \
+            & (jnp.linalg.norm(des_xy - tcp_xy) < 0.045)
+    else:
+        behind = None
+        near = (jnp.linalg.norm(approach_pt - tcp_xy) < near_r) \
+            & (along0 < -0.05)   # rod genuinely behind the box
     entering = near & (st.phase == 0)
     phase = jnp.where(stage_done, 0, jnp.where(near, 1, st.phase))
     rel = tcp_xy - bpos
@@ -209,8 +231,13 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     striking = st.striking
     strike_end = st.strike_end
     # rod out of pushing position (wrong side of the box / off the push
-    # line, e.g. after the box slipped sideways): re-approach
-    bad = (phase == 1) & ((along > -0.005) | (perp > 0.05))
+    # line, e.g. after the box slipped sideways): re-approach. The dynamic
+    # carried push self-centers (line-anchored carrot), so it gets more
+    # lateral room before a reset than the kinematic box-anchored carrot.
+    if dyn:
+        bad = (phase == 1) & ((along > 0.005) | (perp > 0.08))
+    else:
+        bad = (phase == 1) & ((along > -0.005) | (perp > 0.05))
     phase = jnp.where(bad & ~near, 0, phase)
 
     # route around EVERY box, including the target box itself — the straight
@@ -218,9 +245,25 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
     # plows it away from the target (the |ob-tcp| < L term releases the
     # detour once the rod is closer to the approach point than to the box)
     others = jnp.ones(boxes_xy.shape[0], bool)
+    # dyn: keep detour points reachable — a detour at the x~0.8 workspace
+    # edge parks the carrot where the arm cannot follow and the blocking
+    # predicate never releases (tools/diag_push_ep.py ep2: 200-step orbit)
+    push_bounds = (jnp.array([0.33, -0.42]), jnp.array([0.76, 0.42])) \
+        if dyn else None
     nxt_app = _route_around(des_xy, tcp_xy, approach_pt, boxes_xy, others,
                             block_r=block_r, detour_r=detour_r,
-                            app_step=app_step, app_lead=app_lead)
+                            app_step=app_step, app_lead=app_lead,
+                            bounds=push_bounds)
+    if dyn:
+        # already behind the box but off the push line: pull LATERALLY onto
+        # the line at the current depth instead of chasing the staging
+        # point — a static staging-point carrot makes the braked rod spiral
+        # around the point without ever satisfying the alignment gate
+        depth_c = jnp.clip(along0, -app_back - 0.02, -0.055)
+        align_pt = bpos + u * depth_c
+        nxt_align = _limit_lead(_step_toward(des_xy, align_pt, app_step),
+                                tcp_xy, 0.045)
+        nxt_app = jnp.where(behind & ~near, nxt_align, nxt_app)
     # Strike-chase vs precision push (dynamic mode): the impedance arm's
     # sustained slow push tops out at ~35-55 mm/s even on the C-MuJoCo golden
     # (tools/diag_dynamic_push.py depth sweep), which overruns the 400-step
@@ -248,15 +291,38 @@ def pushing_expert_step(st: PushExpertState, des_xy, tcp_xy, boxes_xy,
         # `strike_radius` short of the target so the box is never driven
         # past the success radius: box face contact at cap + 0.04 leaves the
         # box center ~(strike_radius - 0.04) short of the target center.
-        s_carrot = jnp.minimum(along + strike_lead, d_tgt - strike_radius)
-        nxt_push = bpos + u * s_carrot
+        # Slow catch, fast carry: at full strike_lead the contact-free
+        # run-up tracks with a ~5 cm LATERAL sag (tools/diag_push_ep.py:
+        # lag vector not collinear with the path at ~200 mm/s), so the rod
+        # slides past the 3 cm-half box without ever catching it. Keep the
+        # lead small (slow, accurate, on-line) until the rod reaches the box
+        # face; once in contact the box itself is the lateral reference and
+        # the full lead only sets push force.
+        lead_eff = jnp.where(along < -0.052, 0.032, strike_lead)
+        s_carrot = jnp.minimum(along + lead_eff, d_tgt - strike_radius)
+        # Mirror the carrot across the push line: an on-line carrot pulls
+        # the rod laterally with authority ~ perp while pulling forward
+        # with ~ lead_eff, so at perp ~ 2-3 cm the rod slides around the
+        # box corner faster than it recenters. Reflecting the carrot to
+        # the line's other side doubles the lateral pull.
+        perp_vec = rel - along * u
+        nxt_push = bpos + u * s_carrot - perp_vec
 
     # progress watchdog (dynamic mode): pushing without the box nearing the
     # target for ~1.2 s means a corner-contact deadlock — force a fresh
     # approach from the current line
     progressing = d_tgt < st.prev_d - 5e-4
-    stall = jnp.where((phase == 1) & ~progressing, st.stall + 1, 0)
-    stalled = stall > 35
+    # dyn endgame exemption: the strike_radius carrot cap throttles the box
+    # below the 0.5 mm/step progress threshold as d_tgt -> PUSH_STOP, which
+    # used to fire the watchdog and thrash approach/push until the horizon
+    # ran out a few mm short of done
+    count = (phase == 1) & ~progressing
+    if dyn:
+        count = count & (d_tgt > 0.09)
+    stall = jnp.where(count, st.stall + 1, 0)
+    # dyn: the on-line run-up from the staging point is ~15 contact-free
+    # steps, so give the push a longer grace before declaring a deadlock
+    stalled = stall > (50 if dyn else 35)
     phase = jnp.where(stalled, 0, phase)
     stall = jnp.where(stalled, 0, stall)
 
@@ -377,8 +443,15 @@ def sorting_expert_step(st: SortingExpertState, des_xy, tcp_xy, boxes_pos,
                              jnp.linalg.norm(aim - bpos),
                              jnp.abs(dx))
         margin = jnp.where(phase >= 2, 0.02, 0.058)
-        s_carrot = jnp.minimum(along_b + dyn_adv, dist_aim - margin)
-        nxt_push = bpos + u * s_carrot
+        # slow catch far behind the box, full advance once at the face
+        # (pushing_expert_step: full-lead run-ups track with a ~5 cm
+        # lateral sag and corner-hit the box)
+        adv_eff = jnp.where(along_b < -0.052, 0.032, dyn_adv)
+        s_carrot = jnp.minimum(along_b + adv_eff, dist_aim - margin)
+        # mirror the carrot across the push line to double lateral
+        # re-centering authority (see pushing_expert_step)
+        perp_vec_b = rel_b - along_b * u
+        nxt_push = bpos + u * s_carrot - perp_vec_b
         # rod slipped past the box (box escaped sideways): the rod-anchored
         # carrot would run away to the aim point — drop back to approach
         slipped = in_push & (along_b > -0.005)
@@ -873,7 +946,7 @@ def make_pushing_runner(params, chunk_len: int = CHUNK):
                       app_lead=0.03)
         else:
             kw = dict(push_step=0.011, lead=0.05, app_step=0.011,
-                      app_lead=0.08, strike_depth=-0.06, strike_lead=0.09,
+                      app_lead=0.11, strike_depth=-0.06, strike_lead=0.09,
                       strike_radius=0.058, near_r=0.045,
                       block_r=0.095, detour_r=0.13)
         es2, delta = pushing_expert_step(es, des, tcp[:2], boxes, seq_box,

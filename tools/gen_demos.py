@@ -82,12 +82,12 @@ def gen_avoiding(n_episodes, out_dir, seed=0):
     return files
 
 
-def gen_pushing(n_episodes, out_dir, seed=0):
+def gen_pushing(n_episodes, out_dir, seed=0, kinematic=True):
     import jax
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import pushing, scenes
 
-    params = pushing.PushingParams(kinematic=True)
+    params = pushing.PushingParams(kinematic=kinematic)
     t1 = scenes.PUSHING_TARGET_1[:2]
     t2 = scenes.PUSHING_TARGET_2[:2]
     seq_box_tab = np.array([[0, 1], [1, 0], [0, 1], [1, 0]], np.int32)
@@ -141,12 +141,12 @@ def gen_pushing(n_episodes, out_dir, seed=0):
     return files
 
 
-def gen_sorting(n_episodes, out_dir, seed=0, num_boxes=2):
+def gen_sorting(n_episodes, out_dir, seed=0, num_boxes=2, kinematic=True):
     import jax
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import sorting
 
-    params = sorting.SortingParams(num_boxes, kinematic=True)
+    params = sorting.SortingParams(num_boxes, kinematic=kinematic)
     rng = np.random.default_rng(seed)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
     ctxs = jax.vmap(lambda k: sorting.sample_context(k, num_boxes))(keys)
@@ -197,12 +197,12 @@ def gen_sorting(n_episodes, out_dir, seed=0, num_boxes=2):
     return files
 
 
-def gen_aligning(n_episodes, out_dir, seed=0):
+def gen_aligning(n_episodes, out_dir, seed=0, kinematic=True):
     import jax
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import aligning
 
-    params = aligning.AligningParams(kinematic=True)
+    params = aligning.AligningParams(kinematic=kinematic)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
     ctxs = jax.vmap(aligning.sample_context)(keys)
     # context-correlated mode: work from inside when the tray spawns left
@@ -283,12 +283,12 @@ def gen_stacking(n_episodes, out_dir, seed=0):
     return files
 
 
-def gen_inserting(n_episodes, out_dir, seed=0):
+def gen_inserting(n_episodes, out_dir, seed=0, kinematic=True):
     import jax
     from d3il_tpu.data import experts_jax as ex
     from d3il_tpu.envs import inserting
 
-    params = inserting.InsertingParams(kinematic=True)
+    params = inserting.InsertingParams(kinematic=kinematic)
     perms = np.array(list(itertools.permutations(range(3))), np.int32)
     orders = perms[np.arange(n_episodes) % 6]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_episodes)
@@ -332,6 +332,8 @@ def main():
     ap.add_argument("--out", default="data")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", type=int, default=0, help="1: force CPU backend")
+    ap.add_argument("--dynamic", type=int, default=0,
+                    help="1: full-dynamics arm for the rod tasks (the\n                    reference always runs dynamic, gym_env_wrapper.py:83-93)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -347,16 +349,20 @@ def main():
     if args.task == "avoiding":
         files = gen_avoiding(args.n, all_dir, args.seed)
     elif args.task == "pushing":
-        files = gen_pushing(args.n, all_dir, args.seed)
+        files = gen_pushing(args.n, all_dir, args.seed,
+                            kinematic=not args.dynamic)
     elif args.task == "aligning":
-        files = gen_aligning(args.n, all_dir, args.seed)
+        files = gen_aligning(args.n, all_dir, args.seed,
+                             kinematic=not args.dynamic)
     elif args.task.startswith("sorting"):
         files = gen_sorting(args.n, all_dir, args.seed,
-                            num_boxes=int(args.task.split("_")[1]))
+                            num_boxes=int(args.task.split("_")[1]),
+                            kinematic=not args.dynamic)
     elif args.task == "stacking":
         files = gen_stacking(args.n, all_dir, args.seed)
     elif args.task == "inserting":
-        files = gen_inserting(args.n, all_dir, args.seed)
+        files = gen_inserting(args.n, all_dir, args.seed,
+                              kinematic=not args.dynamic)
 
     rng = np.random.default_rng(args.seed + 1)
     files = list(files)

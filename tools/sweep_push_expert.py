@@ -96,14 +96,14 @@ def main():
 
     params = pushing.PushingParams(kinematic=False)
     cfgs = [
-        (0.020, 0.011, 0.05, 0.011, 0.08,
+        (0.020, 0.011, 0.05, 0.011, 0.11,
          dict(strike_depth=-0.06, strike_lead=0.09, strike_radius=0.058,
               near_r=0.045, block_r=0.095, detour_r=0.13)),
-        (0.020, 0.011, 0.05, 0.011, 0.10,
+        (0.020, 0.011, 0.05, 0.011, 0.11,
          dict(strike_depth=-0.06, strike_lead=0.12, strike_radius=0.058,
               near_r=0.045, block_r=0.095, detour_r=0.13)),
-        (0.020, 0.011, 0.05, 0.011, 0.08,
-         dict(strike_depth=-0.06, strike_lead=0.07, strike_radius=0.055,
+        (0.020, 0.011, 0.05, 0.011, 0.11,
+         dict(strike_depth=-0.06, strike_lead=0.15, strike_radius=0.058,
               near_r=0.045, block_r=0.095, detour_r=0.13)),
     ]
     for depth, pstep, plead, astep, alead, skw in cfgs:
