@@ -188,6 +188,7 @@ def run_one(args) -> dict:
         result = evaluate(spec, agent, args)
     row = {"task": args.task, "agent": args.agent, "seed": args.seed,
            "eval_mode": "kinematic" if args.kinematic else "dynamic",
+           "data": args.data,
            "date": time.strftime("%Y-%m-%d", time.gmtime()),
            "train_seconds": train_seconds,
            "final_train_loss": round(float(hist[-1]["train_loss"]), 6),
