@@ -398,13 +398,125 @@ def sample_dpmpp_2m_sde(denoise, a, sigmas, key, eta: float = 1.0):
     return a
 
 
+def _dpm_eps(denoise, a, t):
+    """eps at t = -log sigma (gc_sampling.py DPMSolver.eps)."""
+    sigma = jnp.exp(-t)
+    return (a - denoise(a, sigma)) / jnp.maximum(sigma, 1e-12)
+
+
+def _dpm_1_step(denoise, a, t, tn, eps=None):
+    h = tn - t
+    eps = _dpm_eps(denoise, a, t) if eps is None else eps
+    return a - jnp.exp(-tn) * jnp.expm1(h) * eps, eps
+
+
+def _dpm_2_step(denoise, a, t, tn, r1=0.5, eps=None):
+    h = tn - t
+    eps = _dpm_eps(denoise, a, t) if eps is None else eps
+    s1 = t + r1 * h
+    u1 = a - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _dpm_eps(denoise, u1, s1)
+    a2 = a - jnp.exp(-tn) * jnp.expm1(h) * eps \
+        - jnp.exp(-tn) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+    return a2, eps
+
+
+def _dpm_3_step(denoise, a, t, tn, r1=1 / 3, r2=2 / 3, eps=None):
+    h = tn - t
+    eps = _dpm_eps(denoise, a, t) if eps is None else eps
+    s1, s2 = t + r1 * h, t + r2 * h
+    u1 = a - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _dpm_eps(denoise, u1, s1)
+    u2 = a - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps \
+        - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1.0) \
+        * (eps_r1 - eps)
+    eps_r2 = _dpm_eps(denoise, u2, s2)
+    a3 = a - jnp.exp(-tn) * jnp.expm1(h) * eps \
+        - jnp.exp(-tn) / r2 * (jnp.expm1(h) / h - 1.0) * (eps_r2 - eps)
+    return a3, eps
+
+
+def sample_dpm_fast(denoise, a, sigmas, key):
+    """DPM-Solver-fast (gc_sampling.py:582-618,676): a fixed mix of
+    3rd/2nd/1st-order exponential-integrator steps in t = -log sigma,
+    deterministic (the reference's default eta=0). The sigma grid is static,
+    so the order schedule resolves on host and the loop unrolls under jit."""
+    del key
+    sigs = np.asarray(sigmas, np.float64)
+    t_start = -np.log(sigs[0])
+    t_end = -np.log(sigs[-2])            # last nonzero sigma
+    nfe = len(sigs) - 1
+    m = nfe // 3 + 1
+    ts = np.linspace(t_start, t_end, m + 1)
+    orders = [3] * (m - 2) + [2, 1] if nfe % 3 == 0 \
+        else [3] * (m - 1) + [nfe % 3]
+    steps = {1: _dpm_1_step, 2: _dpm_2_step, 3: _dpm_3_step}
+    for i, order in enumerate(orders):
+        a, _ = steps[order](denoise, a, jnp.float32(ts[i]),
+                            jnp.float32(ts[i + 1]))
+    # the reference integrates only to sigma_min; our sampler interface
+    # carries the trailing sigma=0, whose exact solution is the denoised
+    # estimate (the DDIM ratio -> 0 step every other sampler ends with)
+    return denoise(a, sigmas[-2])
+
+
+def sample_dpm_adaptive(denoise, a, sigmas, key, order: int = 3,
+                        rtol: float = 0.05, atol: float = 0.0078,
+                        h_init: float = 0.05, accept_safety: float = 0.81,
+                        max_steps: int = 64):
+    """DPM-Solver-12/23 adaptive (gc_sampling.py:621-674,856): embedded
+    lower/higher-order step pair with a step-size controller on the global
+    error norm. lax.while_loop replaces the Python while (the step count is
+    data-dependent); the controller is the reference's PID with the default
+    pcoeff=0, icoeff=1 (pure I-control: h *= error^(-1/order) soft-clipped),
+    plus a max_steps fuse jit requires. Deterministic (eta=0)."""
+    del key
+    sigs = np.asarray(sigmas, np.float64)
+    t_start = float(-np.log(sigs[0]))
+    t_end = float(-np.log(sigs[-2]))
+    eps_coeff = 1.0 / (2 if order == 2 else 3)
+
+    def cond(carry):
+        a, a_prev, s, h, i = carry
+        return (s < t_end - 1e-5) & (i < max_steps)
+
+    def body(carry):
+        a, a_prev, s, h, i = carry
+        t = jnp.minimum(jnp.float32(t_end), s + h)
+        if order == 2:
+            a_low, eps = _dpm_1_step(denoise, a, s, t)
+            a_high, _ = _dpm_2_step(denoise, a, s, t, eps=eps)
+        else:
+            a_low, eps = _dpm_2_step(denoise, a, s, t, r1=1 / 3)
+            a_high, _ = _dpm_3_step(denoise, a, s, t, eps=eps)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(a_low),
+                                                     jnp.abs(a_prev)))
+        err = jnp.linalg.norm((a_low - a_high) / delta) / np.sqrt(a.size)
+        accept = err < 1.0 / accept_safety
+        # I-controller: propose h' = h * err^(-1/order), soft-limited
+        fac = jnp.minimum(jnp.maximum(
+            jnp.power(jnp.maximum(err, 1e-8), -eps_coeff), 0.25), 4.0)
+        h_new = jnp.minimum(h * fac * accept_safety, jnp.float32(10.0))
+        a2 = jnp.where(accept, a_high, a)
+        a_prev2 = jnp.where(accept, a_low, a_prev)
+        s2 = jnp.where(accept, t, s)
+        return (a2, a_prev2, s2, h_new, i + 1)
+
+    carry = (a, a, jnp.float32(t_start), jnp.float32(h_init),
+             jnp.int32(0))
+    a, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return denoise(a, sigmas[-2])   # trailing sigma=0 step (see dpm_fast)
+
+
 SAMPLERS = {"euler": sample_euler, "ddim": sample_ddim,
             "euler_ancestral": sample_euler_ancestral, "heun": sample_heun,
             "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
             "dpm_2": sample_dpm_2, "dpm_2_ancestral": sample_dpm_2_ancestral,
             "dpmpp_2s": sample_dpmpp_2s, "dpmpp_2m": sample_dpmpp_2m,
             "lms": sample_lms, "dpmpp_sde": sample_dpmpp_sde,
-            "dpmpp_2m_sde": sample_dpmpp_2m_sde}
+            "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+            "dpm_fast": sample_dpm_fast,
+            "dpm_adaptive": sample_dpm_adaptive}
 
 
 @dataclass

@@ -52,7 +52,10 @@ class LSTMGMMNet(nn.Module):
     def head(self, h):
         h = nn.relu(self.mid(h))
         K, D = self.n_gaussians, self.action_dim
-        means = self.mean_head(h).reshape(h.shape[:-1] + (K, D))
+        # 2.1*tanh mean squash (ref agents/models/gmm/lstm_gmm.py:82) —
+        # bounds component means to the scaled-action range
+        means = 2.1 * jnp.tanh(
+            self.mean_head(h).reshape(h.shape[:-1] + (K, D)))
         stds = jax.nn.softplus(self.std_head(h)).reshape(
             h.shape[:-1] + (K, D)) + self.min_std
         return means, stds, self.logit_head(h)

@@ -196,6 +196,28 @@ def test_dpmpp_2m_sde_tracks_linear_ode():
     assert np.allclose(np.asarray(out), analytic, rtol=5e-3), (out, analytic)
 
 
+def test_dpm_fast_adaptive_track_linear_ode():
+    """dpm_fast / dpm_adaptive (gc_sampling.py:582-674) must track the
+    analytic solution of a linear-denoiser probability-flow ODE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3il_tpu.agents import beso
+
+    alpha = 0.5
+    den = lambda a, s: alpha * a
+    sigmas = beso.karras_sigmas(12)
+    a0 = jnp.array([2.0, -1.0])
+    s0, s_last = float(sigmas[0]), float(sigmas[-2])
+    analytic = np.asarray(a0) * (s_last / s0) ** (1 - alpha) * alpha
+    # dpm_fast at 12 NFE carries ~2% discretization error (5 coarse
+    # segments over the log-sigma range); dpm_adaptive lands at ~1e-4
+    for name, rtol in (("dpm_fast", 3e-2), ("dpm_adaptive", 1e-3)):
+        out = beso.SAMPLERS[name](den, a0, sigmas, jax.random.PRNGKey(0))
+        assert np.allclose(np.asarray(out), analytic, rtol=rtol), \
+            (name, out, analytic)
+
+
 def test_lstm_gmm(data):
     from d3il_tpu.agents.lstm_gmm import LSTMGMMAgent
     ag = LSTMGMMAgent.create(jax.random.PRNGKey(0), OBS_DIM, ACT_DIM,
