@@ -209,7 +209,12 @@ def gen_aligning(n_episodes, out_dir, seed=0, kinematic=True):
     # of the centerline (a human grabs the nearer approach), 20% otherwise
     rng = np.random.default_rng(seed + 3)
     box_x = np.asarray(ctxs[0])[:, 0]
-    modes = ((box_x >= 0.5) ^ (rng.random(n_episodes) < 0.2)).astype(np.int32)
+    # 35% counter-preference flips: the old 20% left the success-filtered
+    # set at 43/7 (86/14), starving mode-1 coverage and collapsing every
+    # agent's aligning entropy to 0 (round-4 verdict weak #5); the
+    # reference's human demos push from inside AND outside per context
+    # (aligning.py:295-320)
+    modes = ((box_x >= 0.5) ^ (rng.random(n_episodes) < 0.35)).astype(np.int32)
     init, chunk = ex.make_aligning_runner(params)
     init_v = jax.jit(jax.vmap(init))
     chunk_v = jax.jit(jax.vmap(chunk))
